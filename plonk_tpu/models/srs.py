@@ -1,0 +1,90 @@
+"""Structured reference string (trusted setup) — replaces src/srs.h.
+
+Two modes:
+
+- mode="reference": bit-exact replication of the reference's srs_create,
+  INCLUDING its degenerate-SRS bug: the G1 base point is g1_identity()
+  (src/srs.h:27), so every G1 power is the point at infinity and every
+  commitment the prover emits is infinity too. srs-test.c:15-17 asserts the
+  degenerate value, so this is load-bearing reference behavior (SURVEY §2.2.1).
+  The power loop also starts at s^1 even for index 0 (src/srs.h:33-36).
+
+- mode="fixed": the intended SRS of "PLONK by hand": g1s[i] = s^i * G with
+  G the real generator (1, 2) and the secret powers accumulated in the BASE
+  field exactly like the reference's running gf_mul (src/srs.h:35). This is
+  the mode the sound verifier uses.
+
+G2 side is identical in both modes: (g2_1, g2_s) = (G2_gen, secret * G2_gen)
+(src/srs.h:39-40).
+
+srs_commit is the naive per-coefficient fold (src/srs.h:53-68) kept for
+parity; the performance path is the Pippenger MSM (ops/msm.py), which is
+asserted equal.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.curve import (G1, G2, g1_generator, g2_generator, g1_add, g1_mul,
+                         g2_mul)
+
+U32 = jnp.uint32
+
+
+@dataclasses.dataclass(frozen=True)
+class SRS:
+    g1s: G1          # batched: arrays of shape (n+1,)
+    g2_1: G2
+    g2_s: G2
+    mode: str
+
+    @property
+    def length(self) -> int:
+        return self.g1s.x.shape[-1]
+
+
+def srs_create(Fq, curve, secret: int, n: int, mode: str = "reference") -> SRS:
+    """Build the SRS with n+1 G1 powers (src/srs.h:18-43). `secret` is an
+    element of the BASE field (the reference takes GF secret)."""
+    length = n + 1
+    secret = secret % Fq.p
+    # secret powers in the base field, like the reference's running gf_mul:
+    # reference mode starts at s^1 (src/srs.h:33-36 quirk), fixed at s^0.
+    powers = []
+    cur = secret if mode == "reference" else 1
+    for _ in range(length):
+        powers.append(cur)
+        cur = (cur * secret) % Fq.p
+    powers = jnp.asarray(np.array(powers, dtype=np.uint32))
+
+    if mode == "reference":
+        base = G1.identity()            # the enshrined bug (src/srs.h:27)
+    elif mode == "fixed":
+        base = g1_generator(curve, Fq)
+    else:
+        raise ValueError(f"unknown SRS mode {mode!r}")
+
+    g1s = g1_mul(Fq, base, powers)      # batched ladder over all powers
+    g2_1 = g2_generator(curve, Fq)
+    g2_s = g2_mul(Fq, curve.d, g2_1, jnp.uint32(secret))
+    return SRS(g1s=g1s, g2_1=g2_1, g2_s=g2_s, mode=mode)
+
+
+def srs_commit_naive(Fq, srs_g1s: G1, coeffs: jnp.ndarray) -> G1:
+    """Naive MSM fold: sum_i coeffs[i] * g1s[i] in index order
+    (src/srs.h:53-68). coeffs are scalar-field values; the reference feeds
+    coeff.value straight into g1_mul (src/srs.h:62-63). Static-shape: uses
+    min(len(coeffs), len(g1s)) terms; zero-padded coefficients contribute
+    the identity, matching the reference's effective-length behavior."""
+    L = min(coeffs.shape[-1], srs_g1s.x.shape[-1])
+    pts = G1(srs_g1s.x[:L], srs_g1s.y[:L], srs_g1s.inf[:L])
+    terms = g1_mul(Fq, pts, coeffs[:L])
+
+    def body(i, acc):
+        return g1_add(Fq, acc, G1(terms.x[i], terms.y[i], terms.inf[i]))
+
+    return jax.lax.fori_loop(0, L, body, G1.identity())

@@ -1,0 +1,105 @@
+"""Pippenger bucket-method multi-scalar multiplication.
+
+Replaces the reference's naive per-coefficient fold (src/srs.h:53-68, one
+full scalar-mul + add per term) with the TPU-native bucket method:
+
+1. split scalars into w-bit windows;
+2. per window, bucket-accumulate points by digit — implemented as
+   sort-by-digit + segmented associative scan (EC addition is associative,
+   so `lax.associative_scan` over masked-affine point ops is exact);
+3. bucket totals combine with the standard descending running sum;
+4. windows combine with w doublings each.
+
+Everything is static-shape and batched; the segmented scan is the same
+primitive the grand-product uses. The distributed version shards points
+across the mesh and combines per-shard partial sums (parallel/dist_msm.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .curve import G1, g1_add, g1_double, _sel_g1
+
+U32 = jnp.uint32
+
+
+def _seg_scan_add(F, pts: G1, starts: jnp.ndarray) -> G1:
+    """Segmented inclusive prefix EC-sum: within each segment (delimited by
+    `starts`), element i becomes the sum of elements start..i."""
+
+    def combine(a, b):
+        ax, ay, ainf, aflag = a
+        bx, by, binf, bflag = b
+        s = g1_add(F, G1(ax, ay, ainf), G1(bx, by, binf))
+        keep_b = bflag
+        return (jnp.where(keep_b, bx, s.x),
+                jnp.where(keep_b, by, s.y),
+                jnp.where(keep_b, binf, s.inf),
+                jnp.logical_or(aflag, bflag))
+
+    x, y, inf, _ = jax.lax.associative_scan(
+        combine, (pts.x, pts.y, pts.inf, starts))
+    return G1(x, y, inf)
+
+
+def msm_window_buckets(F, pts: G1, digits: jnp.ndarray, n_buckets: int) -> G1:
+    """Bucket sums for one window: bucket[b] = EC-sum of points with
+    digits == b. Returns a G1 batch of shape (n_buckets,). Bucket 0 is
+    unused by the caller."""
+    n = digits.shape[0]
+    order = jnp.argsort(digits)
+    sd = digits[order]
+    sp = G1(pts.x[order], pts.y[order], pts.inf[order])
+    starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), sd[1:] != sd[:-1]])
+    scanned = _seg_scan_add(F, sp, starts)
+    # segment ends hold the full per-digit sums
+    is_end = jnp.concatenate([sd[:-1] != sd[1:], jnp.ones((1,), jnp.bool_)])
+    write_idx = jnp.where(is_end, sd.astype(jnp.int32), n_buckets)
+    bx = jnp.zeros((n_buckets + 1,), U32).at[write_idx].set(scanned.x)
+    by = jnp.zeros((n_buckets + 1,), U32).at[write_idx].set(scanned.y)
+    binf = jnp.ones((n_buckets + 1,), jnp.bool_).at[write_idx].set(scanned.inf)
+    # buckets that received no points stay at infinity: .set on untouched
+    # lanes leaves the init value
+    return G1(bx[:n_buckets], by[:n_buckets], binf[:n_buckets])
+
+
+def _bucket_reduce(F, buckets: G1) -> G1:
+    """sum_b b * bucket[b] via the descending running-sum trick."""
+    n_buckets = buckets.x.shape[0]
+
+    def body(i, carry):
+        running, total = carry
+        b = n_buckets - 1 - i  # from top bucket down to 1
+        pt = G1(buckets.x[b], buckets.y[b], buckets.inf[b])
+        running = g1_add(F, running, pt)
+        total = g1_add(F, total, running)
+        return running, total
+
+    running0 = G1.identity()
+    total0 = G1.identity()
+    _, total = jax.lax.fori_loop(0, n_buckets - 1, body, (running0, total0))
+    return total
+
+
+def msm_pippenger(F, pts: G1, scalars: jnp.ndarray, window_bits: int = 5,
+                  scalar_bits: int = 32) -> G1:
+    """Full Pippenger MSM: sum_i scalars[i] * pts[i]."""
+    scalars = jnp.asarray(scalars, dtype=U32)
+    n_windows = -(-scalar_bits // window_bits)
+    n_buckets = 1 << window_bits
+
+    total = G1.identity()
+    for wi in reversed(range(n_windows)):
+        if wi != n_windows - 1:
+            for _ in range(window_bits):
+                total = g1_double(F, total)
+        digits = (scalars >> (wi * window_bits)) & (n_buckets - 1)
+        buckets = msm_window_buckets(F, pts, digits, n_buckets)
+        total = g1_add(F, total, _bucket_reduce(F, buckets))
+    return total
+
+
+def msm(F, pts: G1, scalars: jnp.ndarray, window_bits: int = 5,
+        scalar_bits: int = 32) -> G1:
+    return msm_pippenger(F, pts, scalars, window_bits, scalar_bits)
