@@ -1,0 +1,131 @@
+"""Headline benchmark (run by the driver on real TPU hardware).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline: PLONK proofs/s on the canonical 4-gate circuit (the reference's
+own end-to-end scenario, src/plonk-test.c:123-267) with a fixed SRS — the
+TPU proves a vmapped batch per program launch; the baseline is the C
+reference prover measured in this container (tools/golden/bench_reference.c,
+gcc -O2, single core): see tests/golden/bench_baseline.json.
+
+Extras (north-star metrics from BASELINE.md): BabyBear NTT throughput at
+2^20 and toy-curve MSM points/s at 2^16.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, reps=3):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)          # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def bench_prover_batch(batch: int = 8192):
+    import jax
+    import jax.numpy as jnp
+    from plonk_tpu.models.presets import (canonical_constraints,
+                                          canonical_assignments,
+                                          canonical_context,
+                                          CANONICAL_CHALLENGE,
+                                          CANONICAL_RAND)
+    from plonk_tpu.parallel.batch import make_batched_prover
+
+    ctx = canonical_context(srs_mode="fixed")
+    cons = canonical_constraints()
+    asg = canonical_assignments()
+    sel = cons.selectors_device()
+    selectors = jnp.stack([sel["q_l"], sel["q_r"], sel["q_o"], sel["q_m"],
+                           sel["q_c"]])
+    copies = jnp.stack([jnp.asarray(cons.c_a), jnp.asarray(cons.c_b),
+                        jnp.asarray(cons.c_c)])
+    a, b, c = asg.device()
+    tile = lambda x: jnp.tile(x, (batch, 1))
+    chs = jnp.tile(jnp.asarray(CANONICAL_CHALLENGE), (batch, 1))
+    rnds = jnp.tile(jnp.asarray(CANONICAL_RAND), (batch, 1))
+    fn = jax.jit(make_batched_prover(ctx, selectors, copies))
+
+    secs, (proofs, diags) = _timeit(fn, tile(a), tile(b), tile(c), chs, rnds)
+    assert bool(jnp.all(diags.satisfied))
+    assert int(proofs.r_z[0]) == 15, "proof mismatch in bench"
+    return batch / secs
+
+
+def bench_ntt(log_n: int = 20):
+    import jax
+    from plonk_tpu.utils.params import BABYBEAR
+    from plonk_tpu.ops.field import MontField
+    from plonk_tpu.ops.ntt import ntt
+
+    M = MontField(BABYBEAR)
+    n = 1 << log_n
+    w = BABYBEAR.root_of_unity(n)
+    rng = np.random.default_rng(0)
+    x = M.encode(np.asarray(rng.integers(0, M.p, size=n, dtype=np.uint32)))
+    fn = jax.jit(lambda v: ntt(M, v, w))
+    secs, _ = _timeit(fn, x)
+    return n / secs
+
+
+def bench_msm(log_n: int = 16):
+    import jax
+    import jax.numpy as jnp
+    from plonk_tpu.utils.params import TOY_CURVE, GF101
+    from plonk_tpu.ops.field import Field
+    from plonk_tpu.ops import curve as C
+    from plonk_tpu.ops.msm import msm_pippenger
+
+    Fq = Field(GF101)
+    n = 1 << log_n
+    rng = np.random.default_rng(1)
+    g = C.g1_generator(TOY_CURVE, Fq)
+    pts = C.g1_mul(Fq, g, jnp.asarray(
+        rng.integers(1, 17, size=n, dtype=np.uint32)), nbits=5)
+    scalars = jnp.asarray(rng.integers(0, 17, size=n, dtype=np.uint32))
+    fn = jax.jit(lambda p, s: msm_pippenger(Fq, C.G1(*p), s, window_bits=5,
+                                            scalar_bits=5))
+    secs, _ = _timeit(fn, tuple(pts), scalars)
+    return n / secs
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline = json.load(open(os.path.join(
+        here, "tests", "golden", "bench_baseline.json")))
+    ref = baseline["reference_proofs_per_s"]
+
+    proofs_per_s = bench_prover_batch()
+    extras = {}
+    try:
+        extras["ntt_babybear_2e20_elems_per_s"] = round(bench_ntt(), 1)
+    except Exception as e:  # keep the headline alive
+        extras["ntt_error"] = str(e)[:200]
+    try:
+        extras["msm_toy_2e16_points_per_s"] = round(bench_msm(), 1)
+    except Exception as e:
+        extras["msm_error"] = str(e)[:200]
+
+    result = {
+        "metric": "plonk_proofs_per_s_canonical",
+        "value": round(proofs_per_s, 1),
+        "unit": "proofs/s",
+        "vs_baseline": round(proofs_per_s / ref, 3),
+        "baseline_c_reference_proofs_per_s": ref,
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -176,14 +176,42 @@ def _srs_fit(coeffs: jnp.ndarray, srs_len: int) -> jnp.ndarray:
 
 
 def prove(ctx: PlonkContext, cons: Constraints, asg: Assignments,
-          challenge, rand9) -> tuple[Proof, Diagnostics]:
-    """The full 5-round prover. `challenge` = [alpha, beta, gamma, z, v]
-    (src/plonk.h:16-22), `rand9` = blinding scalars b1..b9. Jittable when
-    closed over ctx/cons shapes."""
+          challenge, rand9, dialect: str = "reference"
+          ) -> tuple[Proof, Diagnostics]:
+    """The full 5-round prover on host-side circuit objects. `challenge` =
+    [alpha, beta, gamma, z, v] (src/plonk.h:16-22), `rand9` = blinding
+    scalars b1..b9."""
+    sel = cons.selectors_device()
+    selectors = jnp.stack([sel["q_l"], sel["q_r"], sel["q_o"], sel["q_m"],
+                           sel["q_c"]])
+    copies = jnp.stack([jnp.asarray(cons.c_a), jnp.asarray(cons.c_b),
+                        jnp.asarray(cons.c_c)])
+    a_w, b_w, c_w = asg.device()
+    return prove_core(ctx, selectors, copies, a_w, b_w, c_w, challenge,
+                      rand9, dialect=dialect)
+
+
+def prove_core(ctx: PlonkContext, selectors: jnp.ndarray,
+               copies: jnp.ndarray, a_w: jnp.ndarray, b_w: jnp.ndarray,
+               c_w: jnp.ndarray, challenge, rand9, dialect: str = "reference"
+               ) -> tuple[Proof, Diagnostics]:
+    """Pure-tensor prover core (jit/vmap/pjit-friendly).
+
+    selectors: (5, n) uint32 rows [q_l, q_r, q_o, q_m, q_c];
+    copies: (3, n, 2) int (COPYOF tag, 1-based index) rows [c_a, c_b, c_c];
+    a_w/b_w/c_w: (n,) uint32 wire values.
+
+    dialect: "reference" replicates the reference's linearization r(x)
+    bit-exactly — including its nonstandard quadratic r3 term z_x * sigma_3
+    (src/plonk.h:563-570) and missing q_c/constant terms, which make the
+    proof UNVERIFIABLE from commitments (consistent with the reference
+    shipping no verifier, SURVEY §2.2.2). "standard" computes the PLONK
+    paper's degree-1 linearization so models/verifier.py can check the
+    proof with two pairings; the proof layout is identical."""
     Fr = ctx.Fr
     pp = ctx.params
     r = pp.field.p
-    n = cons.n
+    n = a_w.shape[-1]
     h_len = ctx.h_len
     assert n == h_len, "reference prover assumes num_constraints == h_len"
     omega, k1, k2 = pp.omega, pp.k1, pp.k2
@@ -192,16 +220,20 @@ def prove(ctx: PlonkContext, cons: Constraints, asg: Assignments,
     rand9 = jnp.asarray(rand9, dtype=U32)
     alpha, beta, gamma, z, v = (challenge[i] for i in range(5))
 
-    sel = cons.selectors_device()
-    a_w, b_w, c_w = asg.device()
+    sel = {"q_l": selectors[0], "q_r": selectors[1], "q_o": selectors[2],
+           "q_m": selectors[3], "q_c": selectors[4]}
 
     # step 1: witness check (src/plonk.h:231)
-    satisfied = satisfies(Fr, cons, asg)
+    lhs = Fr.add(
+        Fr.add(Fr.mul(sel["q_l"], a_w), Fr.mul(sel["q_r"], b_w)),
+        Fr.add(Fr.mul(sel["q_o"], c_w),
+               Fr.add(Fr.mul(sel["q_m"], Fr.mul(a_w, b_w)), sel["q_c"])))
+    satisfied = jnp.all(lhs == 0)
 
     # step 2: sigma mappings (src/plonk.h:254-256)
-    sigma_1 = sigma_to_roots(ctx, jnp.asarray(cons.c_a))
-    sigma_2 = sigma_to_roots(ctx, jnp.asarray(cons.c_b))
-    sigma_3 = sigma_to_roots(ctx, jnp.asarray(cons.c_c))
+    sigma_1 = sigma_to_roots(ctx, copies[0])
+    sigma_2 = sigma_to_roots(ctx, copies[1])
+    sigma_3 = sigma_to_roots(ctx, copies[2])
 
     # step 3: 11 interpolations as one batched INTT (src/plonk.h:265-275)
     stacked = jnp.stack([a_w, b_w, c_w, sel["q_o"], sel["q_m"], sel["q_l"],
@@ -328,16 +360,28 @@ def prove(ctx: PlonkContext, cons: Constraints, asg: Assignments,
     czg = Fr.add(Fr.add(c_z, Fr.mul(Fr.mul(beta, k2c), z)), gamma)
     r_2_x = P.pscale(Fr, z_x, Fr.mul(Fr.mul(Fr.mul(azg, bzg), czg), alpha))
 
-    s3bz = P.pscale(Fr, s_sigma_3, Fr.mul(beta, z_omega_z))
     as1z = Fr.add(a_z, Fr.add(Fr.mul(beta, s_sigma_1_z), gamma))
     bs2z = Fr.add(b_z, Fr.add(Fr.mul(beta, s_sigma_2_z), gamma))
-    r_3_x = P.pscale(Fr, P.pmul_school(Fr, z_x, s3bz),
-                     Fr.mul(Fr.mul(as1z, bs2z), alpha))   # len 2n+2
-
     l_1_z = P.peval(Fr, l_1_x, z)
     r_4_x = P.pscale(Fr, z_x, Fr.mul(l_1_z, alpha_sq))
 
-    r_x = P.padd(Fr, P.padd(Fr, P.padd(Fr, r_1_x, r_2_x), r_3_x), r_4_x)
+    if dialect == "reference":
+        # nonstandard quadratic term z_x * sigma_3 (src/plonk.h:558-570)
+        s3bz = P.pscale(Fr, s_sigma_3, Fr.mul(beta, z_omega_z))
+        r_3_x = P.pscale(Fr, P.pmul_school(Fr, z_x, s3bz),
+                         Fr.mul(Fr.mul(as1z, bs2z), alpha))   # len 2n+2
+        r_x = P.padd(Fr, P.padd(Fr, P.padd(Fr, r_1_x, r_2_x), r_3_x), r_4_x)
+    elif dialect == "standard":
+        # PLONK-paper linearization: degree-1 in committed polynomials, so
+        # the verifier can rebuild [r] from the verification key.
+        # r = r1 + q_c + r2 - alpha*as1z*bs2z*beta*z_omega_z * sigma_3 + r4
+        r_1_x = P.padd(Fr, r_1_x, q_c_x)
+        r_3_x = P.pscale(Fr, s_sigma_3,
+                         Fr.mul(Fr.mul(Fr.mul(as1z, bs2z), alpha),
+                                Fr.mul(beta, z_omega_z)))
+        r_x = P.padd(Fr, P.psub(Fr, P.padd(Fr, r_1_x, r_2_x), r_3_x), r_4_x)
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
     r_z = P.peval(Fr, r_x, z)
 
     # round 5: opening proofs (src/plonk.h:576-621)
@@ -385,10 +429,11 @@ def prove(ctx: PlonkContext, cons: Constraints, asg: Assignments,
     return proof, diags
 
 
-def prove_checked(ctx, cons, asg, challenge, rand9) -> Proof:
+def prove_checked(ctx, cons, asg, challenge, rand9,
+                  dialect: str = "reference") -> Proof:
     """Non-jit wrapper that raises on any invariant failure, mirroring the
     reference's assert/exit behavior."""
-    proof, d = prove(ctx, cons, asg, challenge, rand9)
+    proof, d = prove(ctx, cons, asg, challenge, rand9, dialect=dialect)
     if not bool(d.satisfied):
         raise AssertionError("constraints not satisfied by assignments")
     if not bool(d.acc_ok):

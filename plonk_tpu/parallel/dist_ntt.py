@@ -1,0 +1,191 @@
+"""Distributed four-step (Bailey) NTT over a device mesh.
+
+This is the workload's sequence-parallelism analog (SURVEY §5): the
+evaluation domain is sharded across chips, butterfly work is local, and the
+only communication is the matrix transposes — `jax.lax.all_to_all` over the
+mesh axis (ICI within a slice).
+
+Decomposition (n = n1 * n2, x in natural order, i = i1*n2 + i2,
+k = k1 + n1*k2):
+
+    X[k1 + n1 k2] = sum_{i2} w^{i2 k1} [ sum_{i1} x[i1, i2] (w^{n2})^{i1 k1} ]
+                    * (w^{n1})^{i2 k2}
+
+  1. all_to_all transpose -> columns local
+  2. local size-n1 NTT (root w^{n2}) along i1
+  3. twiddle w^{i2 k1}
+  4. all_to_all transpose back -> rows local
+  5. local size-n2 NTT (root w^{n1}) along i2
+
+The forward transform leaves results in the (k1, k2) "transposed" layout;
+pointwise products are layout-agnostic and the inverse transform consumes
+that layout and restores natural order, so NTT-domain multiplication never
+pays an extra transpose (dist_ntt_mul). `dist_interpolate` adds the one
+layout-restoring transpose needed to return natural-order coefficients.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ntt import ntt as local_ntt
+
+U32 = jnp.uint32
+
+
+def _twiddle_block(Fp: int, w: int, n1: int, n2: int, d: int, n_dev: int,
+                   inverse: bool) -> np.ndarray:
+    """Host-side twiddle block w^{+-i2*k1} for device d's column chunk:
+    shape (n1, n2/n_dev), rows k1, cols i2 in [d*n2/n_dev, ...)."""
+    wq = pow(w, -1, Fp) if inverse else w
+    cols = n2 // n_dev
+    # row_pows[k1] = wq^{k1}; column c holds row_pows^{i2}, built by a
+    # cumulative modular product in uint64 (p < 2^31 keeps products < 2^62)
+    row_pows = np.empty(n1, dtype=np.uint64)
+    cur = 1
+    for r in range(n1):
+        row_pows[r] = cur
+        cur = (cur * wq) % Fp
+    i2_start = d * cols
+    col0 = np.array([pow(int(x), i2_start, Fp) for x in row_pows],
+                    dtype=np.uint64)
+    out = np.empty((n1, cols), dtype=np.uint32)
+    acc = col0
+    for c in range(cols):
+        out[:, c] = acc
+        acc = (acc * row_pows) % Fp
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_all(Fp: int, w: int, n1: int, n2: int, n_dev: int,
+                 inverse: bool) -> np.ndarray:
+    """(n_dev, n1, n2/n_dev) stack of per-device twiddle blocks."""
+    return np.stack([_twiddle_block(Fp, w, n1, n2, d, n_dev, inverse)
+                     for d in range(n_dev)])
+
+
+def _split(n: int, n_dev: int):
+    """Pick n1 (columns transform length) divisible by n_dev and n2 = n/n1,
+    also divisible by n_dev, both powers of two."""
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    n2 = n // n1
+    if n1 % n_dev or n2 % n_dev:
+        n1 = max(n1, n_dev)
+        n2 = n // n1
+    if n1 % n_dev or n2 % n_dev or n1 * n2 != n:
+        raise ValueError(f"cannot split n={n} across {n_dev} devices")
+    return n1, n2
+
+
+def _fwd_local(F, x_loc, *, w, n1, n2, n_dev, axis, inverse):
+    """Per-device body of the four-step transform. x_loc: (n1/n_dev, n2)
+    rows of the natural-order matrix. Returns (n1/n_dev, n2) rows of the
+    (k1, k2) result matrix."""
+    d = jax.lax.axis_index(axis)
+    wq = pow(w, -1, F.p) if inverse else w
+    # 1. transpose: -> (n1, n2/n_dev) full columns
+    cols = jax.lax.all_to_all(x_loc, axis, split_axis=1, concat_axis=0,
+                              tiled=True)
+    # 2. local column transform (axis 0), root w^{n2} of order n1
+    cols_t = local_ntt(F, cols.swapaxes(0, 1), pow(wq, n2, F.p)).swapaxes(0, 1)
+    # 3. twiddle w^{i2 k1}
+    tw_all = F.array(_twiddle_all(F.p, w, n1, n2, n_dev, inverse))
+    cols_t = F.mul(cols_t, tw_all[d])
+    # 4. transpose back: -> (n1/n_dev, n2) rows (rows are k1 chunks)
+    rows = jax.lax.all_to_all(cols_t, axis, split_axis=0, concat_axis=1,
+                              tiled=True)
+    # 5. local row transform (axis 1), root w^{n1} of order n2
+    return local_ntt(F, rows, pow(wq, n1, F.p))
+
+
+def dist_ntt(F, mesh: Mesh, x, w: int, axis: str = "sp",
+             inverse: bool = False):
+    """Forward (or unscaled-inverse) transform of a sharded 1-D array of
+    length n. Input natural order; output in (k1, k2) transposed layout,
+    sharded the same way. Wrap with jit for fusion."""
+    n = x.shape[-1]
+    n_dev = mesh.shape[axis]
+    n1, n2 = _split(n, n_dev)
+
+    def body(x_loc):
+        loc = x_loc.reshape(n1 // n_dev, n2)
+        out = _fwd_local(F, loc, w=w, n1=n1, n2=n2, n_dev=n_dev, axis=axis,
+                         inverse=inverse)
+        return out.reshape(-1)
+
+    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    return f(x)
+
+
+def _untranspose(F, mesh, y, n1, n2, axis):
+    """(k1, k2) layout -> natural order k = k1 + n1*k2 (one all_to_all +
+    local transpose)."""
+    n_dev = mesh.shape[axis]
+
+    def body(y_loc):
+        rows = y_loc.reshape(n1 // n_dev, n2)            # rows k1, cols k2
+        cols = jax.lax.all_to_all(rows, axis, split_axis=1, concat_axis=0,
+                                  tiled=True)            # (n1, n2/n_dev)
+        # natural order as (k2, k1) row-major: transpose the local block
+        return cols.swapaxes(0, 1).reshape(-1)
+
+    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    return f(y)
+
+
+def dist_intt(F, mesh: Mesh, y, w: int, axis: str = "sp"):
+    """Inverse of dist_ntt: input in (k1, k2) layout, output natural-order
+    coefficients (scaled by 1/n). Runs the forward steps backwards with
+    inverse roots/twiddles — so a fwd/pointwise/inv chain costs exactly four
+    all_to_alls total."""
+    n = y.shape[-1]
+    n_dev = mesh.shape[axis]
+    n1, n2 = _split(n, n_dev)
+    w_inv = pow(w, -1, F.p)
+
+    def body(y_loc):
+        rows = y_loc.reshape(n1 // n_dev, n2)            # rows k1, cols k2
+        d = jax.lax.axis_index(axis)
+        # undo step 5: inverse row transform (root (w^{n1})^{-1}, unscaled)
+        rows = local_ntt(F, rows, pow(w_inv, n1, F.p))   # cols now i2
+        # undo step 4: -> (n1, n2/n_dev) full columns
+        cols = jax.lax.all_to_all(rows, axis, split_axis=1, concat_axis=0,
+                                  tiled=True)
+        # undo step 3: inverse twiddle w^{-i2 k1}
+        tw_all = F.array(_twiddle_all(F.p, w, n1, n2, n_dev, True))
+        cols = F.mul(cols, tw_all[d])
+        # undo step 2: inverse column transform (root (w^{n2})^{-1})
+        cols = local_ntt(F, cols.swapaxes(0, 1),
+                         pow(w_inv, n2, F.p)).swapaxes(0, 1)
+        # undo step 1: -> (n1/n_dev, n2) natural-order rows
+        nat = jax.lax.all_to_all(cols, axis, split_axis=0, concat_axis=1,
+                                 tiled=True)
+        return nat.reshape(-1)
+
+    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    out = f(y)
+    return F.mul(out, F.const(pow(n, -1, F.p)))
+
+
+def dist_ntt_mul(F, mesh: Mesh, a, b, w: int, axis: str = "sp"):
+    """Pointwise product in the transform domain; inputs/outputs natural
+    order, length n (cyclic convolution — callers pad to avoid wraparound)."""
+    fa = dist_ntt(F, mesh, a, w, axis)
+    fb = dist_ntt(F, mesh, b, w, axis)
+    return dist_intt(F, mesh, F.mul(fa, fb), w, axis)
+
+
+def dist_interpolate(F, mesh: Mesh, values, w: int, axis: str = "sp"):
+    """Natural-order INTT (the distributed interpolate_at_h)."""
+    n = values.shape[-1]
+    n_dev = mesh.shape[axis]
+    n1, n2 = _split(n, n_dev)
+    y = dist_ntt(F, mesh, values, w, axis, inverse=True)
+    y = _untranspose(F, mesh, y, n1, n2, axis)
+    return F.mul(y, F.const(pow(n, -1, F.p)))

@@ -1,0 +1,164 @@
+"""Multi-chip paths on the 8-device virtual CPU mesh: distributed four-step
+NTT == local NTT, sharded MSM == local MSM, sharded batched prover ==
+single-proof prover."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plonk_tpu.utils.params import HF17, BABYBEAR, TOY_CURVE, GF101
+from plonk_tpu.ops.field import Field, MontField
+from plonk_tpu.ops import ntt as N
+from plonk_tpu.ops import curve as C
+from plonk_tpu.ops.msm import msm_pippenger
+from plonk_tpu.parallel import mesh as MS
+from plonk_tpu.parallel import dist_ntt as DN
+from plonk_tpu.parallel import dist_msm as DM
+from plonk_tpu.parallel import batch as B
+from plonk_tpu.models import plonk as PL
+from plonk_tpu.models.presets import (canonical_constraints,
+                                      canonical_assignments,
+                                      canonical_context,
+                                      CANONICAL_CHALLENGE, CANONICAL_RAND)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 cpu devices"
+    return MS.make_1d_mesh("sp", 8)
+
+
+class TestDistNTT:
+    M = MontField(BABYBEAR)
+
+    def test_forward_matches_local(self, mesh8):
+        n = 1 << 12
+        w = BABYBEAR.root_of_unity(n)
+        rng = np.random.default_rng(0)
+        v = self.M.array(rng.integers(0, self.M.p, size=n, dtype=np.uint32))
+        vs = MS.shard_vector(mesh8, v, "sp")
+        y = np.asarray(DN.dist_ntt(self.M, mesh8, vs, w))
+        # transposed (k1, k2) layout vs natural-order local result
+        n1, n2 = DN._split(n, 8)
+        local = np.asarray(N.ntt(self.M, v, w))
+        z = local.reshape(n2, n1).T.reshape(-1)   # X[k1 + n1 k2] @ [k1*n2+k2]
+        np.testing.assert_array_equal(y, z)
+
+    def test_roundtrip(self, mesh8):
+        n = 1 << 10
+        w = BABYBEAR.root_of_unity(n)
+        rng = np.random.default_rng(1)
+        raw = rng.integers(0, self.M.p, size=n, dtype=np.uint32)
+        v = self.M.array(raw)
+        vs = MS.shard_vector(mesh8, v, "sp")
+        back = DN.dist_intt(self.M, mesh8,
+                            DN.dist_ntt(self.M, mesh8, vs, w), w)
+        np.testing.assert_array_equal(np.asarray(self.M.decode(back)), raw)
+
+    def test_interpolate_matches_local(self, mesh8):
+        n = 1 << 10
+        w = BABYBEAR.root_of_unity(n)
+        rng = np.random.default_rng(2)
+        v = self.M.array(rng.integers(0, self.M.p, size=n, dtype=np.uint32))
+        vs = MS.shard_vector(mesh8, v, "sp")
+        dist = np.asarray(DN.dist_interpolate(self.M, mesh8, vs, w))
+        local = np.asarray(N.intt(self.M, v, w))
+        np.testing.assert_array_equal(dist, local)
+
+    def test_ntt_mul_cyclic(self, mesh8):
+        """Cyclic convolution via dist transforms == local path."""
+        n = 1 << 10
+        w = BABYBEAR.root_of_unity(n)
+        rng = np.random.default_rng(3)
+        a = self.M.array(rng.integers(0, self.M.p, size=n, dtype=np.uint32))
+        b = self.M.array(rng.integers(0, self.M.p, size=n, dtype=np.uint32))
+        d = np.asarray(DN.dist_ntt_mul(
+            self.M, mesh8, MS.shard_vector(mesh8, a, "sp"),
+            MS.shard_vector(mesh8, b, "sp"), w))
+        local = np.asarray(N.intt(self.M, self.M.mul(
+            N.ntt(self.M, a, w), N.ntt(self.M, b, w)), w))
+        np.testing.assert_array_equal(d, local)
+
+    def test_toy_field_small(self, mesh8):
+        """Toy F17 domain (n=16 uses the full 2-adicity)."""
+        F = Field(HF17)
+        n = 16
+        w = HF17.root_of_unity(n)
+        v = F.array(np.arange(n) % 17)
+        vs = MS.shard_vector(mesh8, v, "sp")
+        dist = np.asarray(DN.dist_interpolate(F, mesh8, vs, w))
+        local = np.asarray(N.intt(F, v, w))
+        np.testing.assert_array_equal(dist, local)
+
+
+class TestDistMSM:
+    Fq = Field(GF101)
+
+    def test_matches_local(self, mesh8):
+        rng = np.random.default_rng(4)
+        g = C.g1_generator(TOY_CURVE, self.Fq)
+        n = 64
+        pts = C.g1_mul(self.Fq, g,
+                       jnp.asarray(rng.integers(1, 17, size=n,
+                                                dtype=np.uint32)))
+        scalars = jnp.asarray(rng.integers(0, 17, size=n, dtype=np.uint32))
+        local = msm_pippenger(self.Fq, pts, scalars, window_bits=5,
+                              scalar_bits=5)
+        dist = DM.dist_msm(self.Fq, mesh8, pts, scalars, window_bits=5,
+                           scalar_bits=5)
+        assert bool(C.g1_equal(local, dist))
+
+
+class TestBatchedProver:
+    def test_vmap_batch_matches_single(self):
+        ctx = canonical_context()
+        cons = canonical_constraints()
+        asg = canonical_assignments()
+        sel = cons.selectors_device()
+        selectors = jnp.stack([sel["q_l"], sel["q_r"], sel["q_o"],
+                               sel["q_m"], sel["q_c"]])
+        copies = jnp.stack([jnp.asarray(cons.c_a), jnp.asarray(cons.c_b),
+                            jnp.asarray(cons.c_c)])
+        B_ = 4
+        a = jnp.tile(jnp.asarray(asg.a.astype(np.uint32)), (B_, 1))
+        b = jnp.tile(jnp.asarray(asg.b.astype(np.uint32)), (B_, 1))
+        c = jnp.tile(jnp.asarray(asg.c.astype(np.uint32)), (B_, 1))
+        # vary challenges across the batch
+        chs = np.tile(CANONICAL_CHALLENGE, (B_, 1))
+        chs[1] = [3, 7, 11, 2, 6]
+        chs[2] = [1, 1, 2, 3, 5]
+        rnds = np.tile(CANONICAL_RAND, (B_, 1))
+        fn = B.make_batched_prover(ctx, selectors, copies)
+        proofs, diags = fn(a, b, c, jnp.asarray(chs), jnp.asarray(rnds))
+        assert bool(jnp.all(diags.satisfied))
+        assert bool(jnp.all(diags.t_rem_zero))
+        # lane 0 matches the single-proof golden path
+        single, _ = PL.prove(ctx, cons, asg, CANONICAL_CHALLENGE,
+                             CANONICAL_RAND)
+        for name in ["a_z", "b_z", "c_z", "r_z", "z_omega_z"]:
+            assert int(getattr(proofs, name)[0]) == int(getattr(single, name))
+        # lane 1 (different challenge) also matches its own single run
+        single1, d1 = PL.prove(ctx, cons, asg, chs[1], rnds[1])
+        assert bool(d1.all_ok())
+        assert int(proofs.r_z[1]) == int(single1.r_z)
+
+    def test_sharded_dp_prover(self, mesh8):
+        mesh = MS.make_1d_mesh("dp", 8)
+        ctx = canonical_context()
+        cons = canonical_constraints()
+        asg = canonical_assignments()
+        sel = cons.selectors_device()
+        selectors = jnp.stack([sel["q_l"], sel["q_r"], sel["q_o"],
+                               sel["q_m"], sel["q_c"]])
+        copies = jnp.stack([jnp.asarray(cons.c_a), jnp.asarray(cons.c_b),
+                            jnp.asarray(cons.c_c)])
+        B_ = 16
+        a = jnp.tile(jnp.asarray(asg.a.astype(np.uint32)), (B_, 1))
+        b = jnp.tile(jnp.asarray(asg.b.astype(np.uint32)), (B_, 1))
+        c = jnp.tile(jnp.asarray(asg.c.astype(np.uint32)), (B_, 1))
+        chs = jnp.tile(jnp.asarray(CANONICAL_CHALLENGE), (B_, 1))
+        rnds = jnp.tile(jnp.asarray(CANONICAL_RAND), (B_, 1))
+        run = B.make_sharded_prover(ctx, selectors, copies, mesh, "dp")
+        proofs, diags = run(a, b, c, chs, rnds)
+        assert bool(jnp.all(diags.satisfied))
+        assert list(np.asarray(proofs.r_z)) == [15] * B_
