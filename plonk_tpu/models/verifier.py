@@ -91,6 +91,13 @@ def verify(ctx: PlonkContext, vk: VerificationKey, proof: Proof,
     """Verify a standard-dialect proof. Challenges must match the prover's
     (deterministic-challenge protocol, like the reference's CHALLENGE
     struct; fiat_shamir.py derives them from a transcript hash)."""
+    ok1, ok2 = verify_flags(ctx, vk, proof, challenge)
+    return bool(ok1) and bool(ok2)
+
+
+def verify_flags(ctx: PlonkContext, vk: VerificationKey, proof: Proof,
+                 challenge):
+    """Jittable core: returns the two pairing-check booleans."""
     Fr, Fq = ctx.Fr, ctx.Fq
     pp = ctx.params
     curve = pp.curve
@@ -167,4 +174,4 @@ def verify(ctx: PlonkContext, vk: VerificationKey, proof: Proof,
     ok2 = _kzg_check(Fq, curve, proof.w_z_omega_s, zw_pt, proof.z_s, e2_neg,
                      vk.g2_1, vk.g2_s)
 
-    return bool(ok1) and bool(ok2)
+    return ok1, ok2

@@ -40,6 +40,6 @@ def dist_msm(F, mesh: Mesh, pts: G1, scalars: jnp.ndarray,
 
     f = jax.shard_map(body, mesh=mesh,
                       in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                      out_specs=(P(), P(), P()))
+                      out_specs=(P(), P(), P()), check_vma=False)
     x, y, inf = f(pts.x, pts.y, pts.inf, jnp.asarray(scalars, U32))
     return G1(x, y, inf)

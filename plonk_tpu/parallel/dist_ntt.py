@@ -119,7 +119,8 @@ def dist_ntt(F, mesh: Mesh, x, w: int, axis: str = "sp",
                          inverse=inverse)
         return out.reshape(-1)
 
-    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+                      check_vma=False)
     return f(x)
 
 
@@ -135,7 +136,8 @@ def _untranspose(F, mesh, y, n1, n2, axis):
         # natural order as (k2, k1) row-major: transpose the local block
         return cols.swapaxes(0, 1).reshape(-1)
 
-    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+                      check_vma=False)
     return f(y)
 
 
@@ -168,7 +170,8 @@ def dist_intt(F, mesh: Mesh, y, w: int, axis: str = "sp"):
                                  tiled=True)
         return nat.reshape(-1)
 
-    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+                      check_vma=False)
     out = f(y)
     return F.mul(out, F.const(pow(n, -1, F.p)))
 

@@ -95,4 +95,39 @@ TOY_PLONK = PlonkParams(curve=TOY_CURVE, omega=4, k1=2, k2=3)
 BABYBEAR = FieldParams(p=15 * (1 << 27) + 1, name="BabyBear", generator=31,
                        two_adicity=27)
 
-PRESET_FIELDS = {"F17": HF17, "F101": GF101, "BabyBear": BABYBEAR}
+# --- the scaled pairing curve (full PLONK at 2^16+ gates) ---
+#
+# Same construction as the toy curve, scaled up (derived with sympy, see
+# tools/params_search.py): r = 27*2^22 + 1 prime (NTT domains to 2^22),
+# p = 18*r - 1 prime with p = 2 mod 3, so y^2 = x^3 + 3 over F_p is
+# supersingular with exactly p + 1 = 18*r points and embedding degree 2
+# (r | p + 1 | p^2 - 1). G1/G2 generators are cofactor-cleared base points;
+# the twist uses the non-residue d = 3 (u^2 = 3).
+
+SCALED_FR = FieldParams(p=27 * (1 << 22) + 1, name="Fr-scaled", generator=7,
+                        two_adicity=22)
+SCALED_FQ = FieldParams(p=2038431761, name="Fq-scaled", generator=3,
+                        two_adicity=4)
+
+SCALED_CURVE = CurveParams(
+    base=SCALED_FQ,
+    scalar=SCALED_FR,
+    b=3,
+    g1_gen=(632911376, 1963803140),
+    g2_gen=(679336793, 1218545681),
+    d=3,
+)
+
+def scaled_plonk_params(n: int) -> PlonkParams:
+    """PlonkParams for a scaled circuit with domain size n (power of two).
+
+    omega is the order-n root; k1 = 7 (a generator of F_r^*, so its order
+    is not a power of two -> never in H) and k2 = 49 (order (r-1)/2, also
+    divisible by 27 -> not in H, and k2/k1 = 7 not in H -> k2 not in k1*H).
+    The same membership checks the reference does (src/plonk.h:74-99) run
+    again at context construction."""
+    return PlonkParams(curve=SCALED_CURVE,
+                       omega=SCALED_FR.root_of_unity(n), k1=7, k2=49)
+
+PRESET_FIELDS = {"F17": HF17, "F101": GF101, "BabyBear": BABYBEAR,
+                 "Fr-scaled": SCALED_FR, "Fq-scaled": SCALED_FQ}

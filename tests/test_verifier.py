@@ -14,89 +14,144 @@ from plonk_tpu.models.presets import (canonical_constraints,
                                       CANONICAL_CHALLENGE, CANONICAL_RAND)
 
 
+import jax
+
+
+class Setup:
+    """Module-level jitted prove/verify closures (keeps the suite fast —
+    the eager prover is thousands of tiny dispatches)."""
+
+    def __init__(self):
+        self.ctx = canonical_context(srs_mode="fixed")
+        self.cons = canonical_constraints()
+        self.asg = canonical_assignments()
+        self.vk = V.make_verification_key(self.ctx, self.cons)
+        sel = self.cons.selectors_device()
+        selectors = jnp.stack([sel["q_l"], sel["q_r"], sel["q_o"],
+                               sel["q_m"], sel["q_c"]])
+        copies = jnp.stack([jnp.asarray(self.cons.c_a),
+                            jnp.asarray(self.cons.c_b),
+                            jnp.asarray(self.cons.c_c)])
+        a, b, c = self.asg.device()
+        self._std = jax.jit(lambda ch, rnd: PL.prove_core(
+            self.ctx, selectors, copies, a, b, c, ch, rnd,
+            dialect="standard"))
+        self._ref = jax.jit(lambda ch, rnd: PL.prove_core(
+            self.ctx, selectors, copies, a, b, c, ch, rnd,
+            dialect="reference"))
+        self._verify = jax.jit(lambda proof, ch: V.verify_flags(
+            self.ctx, self.vk, proof, ch))
+
+    def prove(self, ch, rnd=None, dialect="standard"):
+        rnd = CANONICAL_RAND if rnd is None else rnd
+        fn = self._std if dialect == "standard" else self._ref
+        proof, diags = fn(jnp.asarray(np.asarray(ch, dtype=np.uint32)),
+                          jnp.asarray(np.asarray(rnd, dtype=np.uint32)))
+        assert bool(diags.all_ok()), "prover invariant failed"
+        return proof
+
+    def verify(self, proof, ch):
+        ok1, ok2 = self._verify(proof,
+                                jnp.asarray(np.asarray(ch, dtype=np.uint32)))
+        return bool(ok1) and bool(ok2)
+
+
 @pytest.fixture(scope="module")
 def setup():
-    ctx = canonical_context(srs_mode="fixed")
-    cons = canonical_constraints()
-    asg = canonical_assignments()
-    vk = V.make_verification_key(ctx, cons)
-    proof = PL.prove_checked(ctx, cons, asg, CANONICAL_CHALLENGE,
-                             CANONICAL_RAND, dialect="standard")
-    return ctx, cons, asg, vk, proof
+    s = Setup()
+    proof = s.prove(CANONICAL_CHALLENGE)
+    return s.ctx, s.cons, s.asg, s.vk, proof, s
 
 
 def test_verify_accepts_valid_proof(setup):
-    ctx, cons, asg, vk, proof = setup
-    assert V.verify(ctx, vk, proof, CANONICAL_CHALLENGE)
+    ctx, cons, asg, vk, proof, s = setup
+    assert s.verify(proof, CANONICAL_CHALLENGE)
 
 
 def test_verify_other_challenges(setup):
-    ctx, cons, asg, vk, _ = setup
+    ctx, cons, asg, vk, _, s = setup
     # (challenges picked so no permutation denominator vanishes mod 17 —
     # with an unlucky beta/gamma the reference prover itself aborts on a
     # nonzero t(x) remainder)
     for ch in ([3, 7, 11, 2, 6], [1, 2, 3, 6, 7], [2, 3, 5, 7, 11]):
-        ch = np.array(ch, dtype=np.uint32)
-        proof = PL.prove_checked(ctx, cons, asg, ch, CANONICAL_RAND,
-                                 dialect="standard")
-        assert V.verify(ctx, vk, proof, ch), ch
+        proof = s.prove(ch)
+        assert s.verify(proof, ch), ch
 
 
 def test_verify_other_blinding(setup):
     """Blinding must not affect validity (zero-knowledge property)."""
-    ctx, cons, asg, vk, _ = setup
+    ctx, cons, asg, vk, _, s = setup
     rnd = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9], dtype=np.uint32)
-    proof = PL.prove_checked(ctx, cons, asg, CANONICAL_CHALLENGE, rnd,
-                             dialect="standard")
-    assert V.verify(ctx, vk, proof, CANONICAL_CHALLENGE)
+    proof = s.prove(CANONICAL_CHALLENGE, rnd)
+    assert s.verify(proof, CANONICAL_CHALLENGE)
 
 
 def test_verify_rejects_tampered_eval(setup):
-    ctx, cons, asg, vk, proof = setup
+    ctx, cons, asg, vk, proof, s = setup
     bad = proof._replace(a_z=jnp.uint32((int(proof.a_z) + 1) % 17))
-    assert not V.verify(ctx, vk, bad, CANONICAL_CHALLENGE)
+    assert not s.verify(bad, CANONICAL_CHALLENGE)
     bad2 = proof._replace(r_z=jnp.uint32((int(proof.r_z) + 5) % 17))
-    assert not V.verify(ctx, vk, bad2, CANONICAL_CHALLENGE)
+    assert not s.verify(bad2, CANONICAL_CHALLENGE)
 
 
 def test_verify_rejects_tampered_commitment(setup):
-    ctx, cons, asg, vk, proof = setup
+    ctx, cons, asg, vk, proof, s = setup
     from plonk_tpu.ops.curve import g1_double
     bad_pt = g1_double(ctx.Fq, proof.a_s)
     bad = proof._replace(a_s=bad_pt)
-    assert not V.verify(ctx, vk, bad, CANONICAL_CHALLENGE)
+    assert not s.verify(bad, CANONICAL_CHALLENGE)
 
 
 def test_verify_rejects_wrong_challenge(setup):
-    ctx, cons, asg, vk, proof = setup
+    ctx, cons, asg, vk, proof, s = setup
     ch = np.array([3, 7, 11, 2, 6], dtype=np.uint32)
-    assert not V.verify(ctx, vk, proof, ch)
+    assert not s.verify(proof, ch)
 
 
 def test_verify_rejects_reference_dialect(setup):
     """Reference-dialect r(x) is quadratic in commitments; its proofs must
     NOT pass the standard verifier (documents the dialect difference).
 
-    Note: with the CANONICAL challenge the dialects coincide (bs2z == 0
+    Notes: with the CANONICAL challenge the dialects coincide (bs2z == 0
     kills the r3 term for this circuit), so use a challenge where the
-    quadratic term is live."""
-    ctx, cons, asg, vk, _ = setup
+    quadratic term is live. And with a live r3 the reference dialect's
+    r(x) has degree 2n+2 > SRS degree — the reference itself would abort
+    in srs_eval_at_s (src/srs.h:54-56) — so a larger SRS is needed to even
+    produce the proof."""
+    from plonk_tpu.models.presets import (canonical_context,
+                                          canonical_constraints,
+                                          canonical_assignments)
+    from plonk_tpu.utils.params import TOY_PLONK
+    from plonk_tpu.models.plonk import plonk_new
+    import jax
+
+    ctx_big = plonk_new(TOY_PLONK, secret=2, n_srs=12, h_len=4,
+                        srs_mode="fixed")
+    cons = canonical_constraints()
+    asg = canonical_assignments()
+    vk_big = V.make_verification_key(ctx_big, cons)
     ch = np.array([3, 7, 11, 2, 6], dtype=np.uint32)
-    p_ref = PL.prove_checked(ctx, cons, asg, ch, CANONICAL_RAND,
+    p_ref = PL.prove_checked(ctx_big, cons, asg, ch, CANONICAL_RAND,
                              dialect="reference")
-    p_std = PL.prove_checked(ctx, cons, asg, ch, CANONICAL_RAND,
+    p_std = PL.prove_checked(ctx_big, cons, asg, ch, CANONICAL_RAND,
                              dialect="standard")
     assert int(p_ref.r_z) != int(p_std.r_z)  # dialects actually diverge here
-    assert not V.verify(ctx, vk, p_ref, ch)
-    assert V.verify(ctx, vk, p_std, ch)
+    assert not V.verify(ctx_big, vk_big, p_ref, ch)
+    assert V.verify(ctx_big, vk_big, p_std, ch)
+
+    # and on the canonical-size SRS, the reference dialect fails its own
+    # degree guard (diagnostics surface what the reference exits on)
+    ctx, cons_, asg_, vk, _, s = setup
+    _, diags = PL.prove(ctx, cons, asg, ch, CANONICAL_RAND,
+                        dialect="reference")
+    assert not bool(diags.srs_fit)
 
 
 def test_standard_dialect_same_commitments(setup):
     """Dialects differ only in r_z (and hence W_z): wire/permutation
     commitments and the other evals are identical."""
-    ctx, cons, asg, vk, p_std = setup
-    p_ref, _ = PL.prove(ctx, cons, asg, CANONICAL_CHALLENGE, CANONICAL_RAND,
-                        dialect="reference")
+    ctx, cons, asg, vk, p_std, s = setup
+    p_ref = s.prove(CANONICAL_CHALLENGE, dialect="reference")
     for name in ["a_s", "b_s", "c_s", "z_s", "t_lo_s", "t_mid_s", "t_hi_s"]:
         a, b = getattr(p_std, name), getattr(p_ref, name)
         assert int(a.x) == int(b.x) and int(a.y) == int(b.y), name
