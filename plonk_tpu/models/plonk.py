@@ -163,7 +163,8 @@ def _commit(ctx: PlonkContext, coeffs: jnp.ndarray) -> G1:
         nb = max(ctx.params.field.p.bit_length(), 2)
         return msm_pippenger(Fq, pts, coeffs[:L], window_bits=min(nb, 8),
                              scalar_bits=nb)
-    return srs_commit_naive(Fq, ctx.srs.g1s, coeffs)
+    return srs_commit_naive(Fq, ctx.srs.g1s, coeffs,
+                            scalar_bits=ctx.params.field.p.bit_length())
 
 
 def _srs_fit(coeffs: jnp.ndarray, srs_len: int) -> jnp.ndarray:

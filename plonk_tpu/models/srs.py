@@ -74,15 +74,17 @@ def srs_create(Fq, curve, secret: int, n: int, mode: str = "reference") -> SRS:
     return SRS(g1s=g1s, g2_1=g2_1, g2_s=g2_s, mode=mode)
 
 
-def srs_commit_naive(Fq, srs_g1s: G1, coeffs: jnp.ndarray) -> G1:
+def srs_commit_naive(Fq, srs_g1s: G1, coeffs: jnp.ndarray,
+                     scalar_bits: int = 32) -> G1:
     """Naive MSM fold: sum_i coeffs[i] * g1s[i] in index order
     (src/srs.h:53-68). coeffs are scalar-field values; the reference feeds
     coeff.value straight into g1_mul (src/srs.h:62-63). Static-shape: uses
     min(len(coeffs), len(g1s)) terms; zero-padded coefficients contribute
-    the identity, matching the reference's effective-length behavior."""
+    the identity, matching the reference's effective-length behavior.
+    scalar_bits bounds the ladder (pass the scalar field's bit length)."""
     L = min(coeffs.shape[-1], srs_g1s.x.shape[-1])
     pts = G1(srs_g1s.x[:L], srs_g1s.y[:L], srs_g1s.inf[:L])
-    terms = g1_mul(Fq, pts, coeffs[:L])
+    terms = g1_mul(Fq, pts, coeffs[:L], nbits=scalar_bits)
 
     def body(i, acc):
         return g1_add(Fq, acc, G1(terms.x[i], terms.y[i], terms.inf[i]))

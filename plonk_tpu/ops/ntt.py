@@ -49,37 +49,98 @@ def _twiddle_table(p: int, w: int, n: int) -> np.ndarray:
     return tw
 
 
+def _bit_reverse(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Bit-reversal permutation along the last axis.
+
+    A flat n-element gather is catastrophically slow on TPU (scalar gather
+    engine); instead factor n = A*B and use the identity
+    rev_n(hi*B + lo) = rev_b(lo)*A + rev_a(hi): one transpose plus two
+    small axis permutations (contiguous-block gathers)."""
+    if n <= 4096:
+        return x[..., _bit_reverse_perm(n)]
+    a = (n.bit_length() - 1) // 2
+    A = 1 << a
+    B = n // A
+    batch = x.shape[:-1]
+    m = x.reshape(batch + (A, B)).swapaxes(-1, -2)      # (B, A)
+    m = m[..., _bit_reverse_perm(B), :]
+    m = m[..., :, _bit_reverse_perm(A)]
+    return m.reshape(batch + (n,))
+
+
 def _check_root(p: int, w: int, n: int):
     if pow(w, n, p) != 1 or (n > 1 and pow(w, n // 2, p) == 1):
         raise ValueError(f"{w} is not a primitive order-{n} root mod {p}")
 
 
+# Row width for the blocked transform: keeps the minor dimension at full
+# TPU lane width (128+) in EVERY butterfly stage. Small-distance stages act
+# within rows via lane rolls; large-distance stages pair whole rows.
+_ROW = 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tables(p: int, w: int, n: int, C: int):
+    """Per-stage twiddle tables (host): for half < C a length-C lane vector
+    tw[(j mod half) * stride]; for half >= C a (D, C) row-block matrix."""
+    tw = _twiddle_table(p, w, n)
+    tables = []
+    half = 1
+    while half < n:
+        stride = n // (2 * half)
+        if half < C:
+            j = np.arange(C)
+            tables.append(tw[(j % half) * stride])
+        else:
+            j = np.arange(half)
+            tables.append(tw[j * stride].reshape(half // C, C))
+        half *= 2
+    return tuple(tables)
+
+
 def ntt(F, x: jnp.ndarray, w: int) -> jnp.ndarray:
     """Forward transform: y[k] = sum_i x[i] * w^(ik), vectorized over any
     leading batch dims. `w` is a host-side primitive n-th root of unity.
-    n = x.shape[-1] must be a power of two."""
+    n = x.shape[-1] must be a power of two.
+
+    Implementation: iterative DIT over a (rows, C) blocked layout. Stages
+    with butterfly distance < C use lane rolls + masked selects (full VPU
+    lane utilization — the naive (..., 2, half) reshape starves the
+    hardware when half < 128); stages with distance >= C pair row blocks
+    with the minor dimension intact."""
     n = x.shape[-1]
     if n & (n - 1):
         raise ValueError("NTT size must be a power of two")
     if n == 1:
         return x
     _check_root(F.p, w, n)
-    tw_std = _twiddle_table(F.p, w, n)
-    tw_all = F.array(tw_std)  # MontField.array encodes to Montgomery form
+    C = min(n, _ROW)
+    R = n // C
+    tables = [F.array(t) for t in _stage_tables(F.p, w, n, C)]
 
-    y = x[..., _bit_reverse_perm(n)]
+    y = _bit_reverse(x, n)
+    batch = y.shape[:-1]
+    y = y.reshape(batch + (R, C))
+    pos = jnp.arange(C)
     half = 1
-    while half < n:
-        stride = n // (2 * half)
-        tw = tw_all[::stride][:half]
-        shape = y.shape[:-1] + (n // (2 * half), 2, half)
-        yv = y.reshape(shape)
-        even = yv[..., 0, :]
-        odd = F.mul(yv[..., 1, :], tw)
-        y = jnp.concatenate([F.add(even, odd), F.sub(even, odd)],
-                            axis=-1).reshape(y.shape[:-1] + (n,))
+    for tv in tables:
+        if half < C:
+            in_low = (pos % (2 * half)) < half
+            down = jnp.roll(y, -half, axis=-1)   # high partner, at low pos
+            up = jnp.roll(y, half, axis=-1)      # low partner, at high pos
+            low_new = F.add(y, F.mul(down, tv))
+            high_new = F.sub(up, F.mul(y, tv))
+            y = jnp.where(in_low, low_new, high_new)
+        else:
+            D = half // C
+            yv = y.reshape(batch + (R // (2 * D), 2, D, C))
+            even = yv[..., 0, :, :]
+            odd = F.mul(yv[..., 1, :, :], tv)
+            y = jnp.concatenate([F.add(even, odd)[..., None, :, :],
+                                 F.sub(even, odd)[..., None, :, :]],
+                                axis=-3).reshape(batch + (R, C))
         half *= 2
-    return y
+    return y.reshape(batch + (n,))
 
 
 def intt(F, x: jnp.ndarray, w: int) -> jnp.ndarray:
