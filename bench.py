@@ -42,7 +42,7 @@ def bench_prover_batch(batch: int = 8192):
                                           CANONICAL_RAND)
     from plonk_tpu.parallel.batch import make_batched_prover
 
-    ctx = canonical_context(srs_mode="fixed")
+    ctx = canonical_context(srs_mode="fixed", commit_mode="table")
     cons = canonical_constraints()
     asg = canonical_assignments()
     sel = cons.selectors_device()
@@ -99,6 +99,30 @@ def bench_msm(log_n: int = 16):
     return n / secs
 
 
+def bench_scaled_prover(log_n: int = 16):
+    """Full PLONK prove at 2^log_n gates over the scaled pairing curve
+    (coset-NTT quotient + Pippenger commitments). Returns proofs/s."""
+    import jax
+    import jax.numpy as jnp
+    from plonk_tpu.models import plonk_scaled as PS
+    from plonk_tpu.models.synthetic import square_chain_circuit
+    from plonk_tpu.utils.params import SCALED_FR
+
+    n = 1 << log_n
+    ctx = PS.scaled_new(n)
+    sel, copies, a, b, c = square_chain_circuit(SCALED_FR.p, n)
+    ch = jnp.asarray(np.array([1111, 2222, 3333, 4444, 5555],
+                              dtype=np.uint32))
+    rnd = jnp.asarray(np.arange(1, 10, dtype=np.uint32))
+    sel_j, cp_j = jnp.asarray(sel), jnp.asarray(copies)
+    a_j, b_j, c_j = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    fn = jax.jit(lambda ch, rnd: PS.prove_scaled(ctx, sel_j, cp_j, a_j, b_j,
+                                                 c_j, ch, rnd))
+    secs, (proof, diags) = _timeit(fn, ch, rnd, reps=3)
+    assert bool(diags.all_ok()), "scaled bench proof invalid"
+    return 1.0 / secs
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     baseline = json.load(open(os.path.join(
@@ -115,6 +139,12 @@ def main():
         extras["msm_toy_2e16_points_per_s"] = round(bench_msm(), 1)
     except Exception as e:
         extras["msm_error"] = str(e)[:200]
+    try:
+        log_n = int(os.environ.get("PLONK_TPU_BENCH_SCALED_LOGN", "16"))
+        extras[f"plonk_scaled_2e{log_n}_proofs_per_s"] = round(
+            bench_scaled_prover(log_n), 3)
+    except Exception as e:
+        extras["scaled_error"] = str(e)[:200]
 
     result = {
         "metric": "plonk_proofs_per_s_canonical",

@@ -96,6 +96,7 @@ class PlonkContext:
     srs: SRS
     h_len: int
     use_pippenger: bool = False
+    commit_mode: str = "naive"   # "naive" | "table" (fixed-base precompute)
 
     def __post_init__(self):
         pp = self.params
@@ -137,11 +138,12 @@ class PlonkContext:
 
 def plonk_new(params: PlonkParams = TOY_PLONK, *, secret: int, n_srs: int,
               h_len: int, srs_mode: str = "reference",
-              use_pippenger: bool = False) -> PlonkContext:
+              use_pippenger: bool = False,
+              commit_mode: str = "naive") -> PlonkContext:
     Fq = make_field(params.curve.base)
     srs = srs_create(Fq, params.curve, secret, n_srs, mode=srs_mode)
     return PlonkContext(params=params, srs=srs, h_len=h_len,
-                        use_pippenger=use_pippenger)
+                        use_pippenger=use_pippenger, commit_mode=commit_mode)
 
 
 def sigma_to_roots(ctx: PlonkContext, copy: jnp.ndarray) -> jnp.ndarray:
@@ -154,8 +156,18 @@ def sigma_to_roots(ctx: PlonkContext, copy: jnp.ndarray) -> jnp.ndarray:
     return table[tag, idx]
 
 
+_TABLE_CACHE: dict = {}
+
+
 def _commit(ctx: PlonkContext, coeffs: jnp.ndarray) -> G1:
     Fq = ctx.Fq
+    if ctx.commit_mode == "table":
+        from .srs import srs_multiple_table, srs_commit_table
+        tbl = _TABLE_CACHE.get(id(ctx))
+        if tbl is None:
+            tbl = srs_multiple_table(Fq, ctx.srs.g1s, ctx.params.field.p)
+            _TABLE_CACHE[id(ctx)] = tbl
+        return srs_commit_table(Fq, tbl, coeffs)
     if ctx.use_pippenger:
         L = min(coeffs.shape[-1], ctx.srs.length)
         g1s = ctx.srs.g1s

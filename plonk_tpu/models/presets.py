@@ -37,8 +37,10 @@ def canonical_assignments() -> Assignments:
                        c=np.array([9, 16, 25, 25], dtype=np.int64))
 
 
-def canonical_context(srs_mode: str = "reference", use_pippenger=False):
+def canonical_context(srs_mode: str = "reference", use_pippenger=False,
+                      commit_mode: str = "naive"):
     from .plonk import plonk_new
     return plonk_new(TOY_PLONK, secret=CANONICAL_SECRET,
                      n_srs=CANONICAL_N_SRS, h_len=CANONICAL_H_LEN,
-                     srs_mode=srs_mode, use_pippenger=use_pippenger)
+                     srs_mode=srs_mode, use_pippenger=use_pippenger,
+                     commit_mode=commit_mode)

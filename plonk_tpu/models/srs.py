@@ -74,6 +74,32 @@ def srs_create(Fq, curve, secret: int, n: int, mode: str = "reference") -> SRS:
     return SRS(g1s=g1s, g2_1=g2_1, g2_s=g2_s, mode=mode)
 
 
+def srs_multiple_table(Fq, srs_g1s: G1, r: int) -> G1:
+    """Fixed-base precomputation for small scalar fields: table[i, k] =
+    k * g1s[i] for k in [0, r). Turns every commitment into gathers + a
+    fold (no scalar-mul ladders) — the classic fixed-base window trick,
+    exact for the toy field where r = 17."""
+    scalars = jnp.arange(r, dtype=U32)[None, :]
+    pts = G1(srs_g1s.x[:, None], srs_g1s.y[:, None], srs_g1s.inf[:, None])
+    return g1_mul(Fq, pts, scalars, nbits=max(r.bit_length(), 1))
+
+
+def srs_commit_table(Fq, table: G1, coeffs: jnp.ndarray) -> G1:
+    """Commitment via the fixed-base table: one gather per SRS point plus
+    an EC-add fold. Identical group output to srs_commit_naive."""
+    L = min(coeffs.shape[-1], table.x.shape[0])
+    rows = jnp.arange(L)
+    idx = coeffs[..., :L].astype(jnp.int32)
+    terms = G1(table.x[rows, idx], table.y[rows, idx],
+               table.inf[rows, idx])
+
+    def body(i, acc):
+        return g1_add(Fq, acc, G1(terms.x[..., i], terms.y[..., i],
+                                  terms.inf[..., i]))
+
+    return jax.lax.fori_loop(0, L, body, G1.identity(terms.x.shape[:-1]))
+
+
 def srs_commit_naive(Fq, srs_g1s: G1, coeffs: jnp.ndarray,
                      scalar_bits: int = 32) -> G1:
     """Naive MSM fold: sum_i coeffs[i] * g1s[i] in index order

@@ -21,11 +21,16 @@ All twiddle tables are computed host-side with Python ints and cached.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax.numpy as jnp
 
 U32 = jnp.uint32
+
+# opt-in fused Pallas kernel for the intra-row stages (Montgomery fields
+# only); enabled via env for the bench path, off for CPU-parity tests
+_USE_PALLAS = os.environ.get("PLONK_TPU_PALLAS", "0") == "1"
 
 
 @functools.lru_cache(maxsize=None)
@@ -122,6 +127,26 @@ def ntt(F, x: jnp.ndarray, w: int) -> jnp.ndarray:
     batch = y.shape[:-1]
     y = y.reshape(batch + (R, C))
     pos = jnp.arange(C)
+
+    n_intra = (C.bit_length() - 1)
+    if (_USE_PALLAS and hasattr(F, "n_prime") and not batch and R >= 8
+            and C >= 256):
+        from .pallas_ntt import row_stages
+        tw_stack = jnp.stack(tables[:n_intra])
+        y = row_stages(F.p, F.n_prime, y, tw_stack)
+        tables_rest = tables[n_intra:]
+        half = C
+        for tv in tables_rest:
+            D = half // C
+            yv = y.reshape(batch + (R // (2 * D), 2, D, C))
+            even = yv[..., 0, :, :]
+            odd = F.mul(yv[..., 1, :, :], tv)
+            y = jnp.concatenate([F.add(even, odd)[..., None, :, :],
+                                 F.sub(even, odd)[..., None, :, :]],
+                                axis=-3).reshape(batch + (R, C))
+            half *= 2
+        return y.reshape(batch + (n,))
+
     half = 1
     for tv in tables:
         if half < C:

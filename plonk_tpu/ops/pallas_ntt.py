@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: fused intra-row NTT butterfly stages.
+
+The blocked NTT (ops/ntt.py) runs log2(C) "intra-row" stages whose
+butterflies act within each C-wide row. As plain XLA ops every stage is an
+HBM round trip (~4 MB read+write per stage at 2^20). This kernel keeps a
+(block_rows, C) tile resident in VMEM and applies ALL intra-row stages
+before writing back — one HBM pass for log2(C) stages. Butterfly partners
+are reached with lane rolls (pltpu.roll); the Montgomery arithmetic is the
+same uint32 limb code as ops/field.py, fully VPU-friendly.
+
+Column stages (butterfly distance >= C) remain in XLA where the reshape is
+already layout-friendly.
+
+Used by ops/ntt.py when `use_pallas` is enabled (bench path); numerical
+parity with the XLA path is asserted in tests/test_pallas_ntt.py via
+interpret mode on CPU and on-device in bench smoke runs.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+_MASK16 = jnp.uint32(0xFFFF)
+
+
+def _mont_ops(p: int, n_prime: int):
+    # NOTE: construct the jnp constants lazily inside each op so they are
+    # created during the kernel trace (pallas_call rejects captured
+    # consts created outside the kernel).
+
+    def add(a, b):
+        pj = jnp.uint32(p)
+        s = a + b
+        return jnp.where(s >= pj, s - pj, s)
+
+    def sub(a, b):
+        pj = jnp.uint32(p)
+        d = a - b
+        return jnp.where(a >= b, d, d + pj)
+
+    def mul(a, b):
+        pj = jnp.uint32(p)
+        npj = jnp.uint32(n_prime)
+        mask16 = jnp.uint32(0xFFFF)
+        a0 = a & mask16
+        a1 = a >> 16
+        b0 = b & mask16
+        b1 = b >> 16
+        p00 = a0 * b0
+        p01 = a0 * b1
+        p10 = a1 * b0
+        p11 = a1 * b1
+        mid = (p00 >> 16) + (p01 & mask16) + (p10 & mask16)
+        lo = (p00 & mask16) | ((mid & mask16) << 16)
+        hi = p11 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+        m = lo * npj
+        m0 = m & mask16
+        m1 = m >> 16
+        q0 = pj & mask16
+        q1 = pj >> 16
+        r00 = m0 * q0
+        r01 = m0 * q1
+        r10 = m1 * q0
+        r11 = m1 * q1
+        rmid = (r00 >> 16) + (r01 & mask16) + (r10 & mask16)
+        rlo = (r00 & mask16) | ((rmid & mask16) << 16)
+        rhi = r11 + (r01 >> 16) + (r10 >> 16) + (rmid >> 16)
+        carry = (lo != 0).astype(U32)
+        t = hi + rhi + carry
+        return jnp.where(t >= pj, t - pj, t)
+
+    return add, sub, mul
+
+
+def _row_stages_kernel(p: int, n_prime: int, C: int, block_rows: int,
+                       tw_ref, y_ref, out_ref):
+    add, sub, mul = _mont_ops(p, n_prime)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (block_rows, C), 1)
+    y = y_ref[:]
+    half = 1
+    s = 0
+    while half < C:
+        tv = tw_ref[s, :]
+        in_low = (pos % (2 * half)) < half
+        down = pltpu.roll(y, C - half, 1)   # y[j + half] at position j
+        up = pltpu.roll(y, half, 1)         # y[j - half] at position j
+        low_new = add(y, mul(down, tv))
+        high_new = sub(up, mul(y, tv))
+        y = jnp.where(in_low, low_new, high_new)
+        half *= 2
+        s += 1
+    out_ref[:] = y
+
+
+def row_stages(p: int, n_prime: int, y: jnp.ndarray,
+               tw_stack: jnp.ndarray, block_rows: int = 256,
+               interpret: bool = False) -> jnp.ndarray:
+    """Apply all intra-row butterfly stages to y (R, C) in one fused pass.
+    tw_stack: (log2(C), C) per-stage lane twiddles (Montgomery form)."""
+    R, C = y.shape
+    block_rows = min(block_rows, R)
+    assert R % block_rows == 0
+    kern = functools.partial(_row_stages_kernel, p, n_prime, C, block_rows)
+    return pl.pallas_call(
+        kern,
+        grid=(R // block_rows,),
+        in_specs=[
+            pl.BlockSpec((tw_stack.shape[0], C), lambda i: (0, 0),
+                         memory_space=pltpu.ANY
+                         if interpret else pltpu.VMEM),
+            pl.BlockSpec((block_rows, C), lambda i: (i, 0),
+                         memory_space=pltpu.ANY
+                         if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, C), lambda i: (i, 0),
+                               memory_space=pltpu.ANY
+                               if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, C), U32),
+        interpret=interpret,
+    )(tw_stack, y)

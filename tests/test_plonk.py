@@ -205,3 +205,20 @@ def test_bad_witness_rejected():
     assert not bool(diags.satisfied)
     with pytest.raises(AssertionError):
         PL.prove_checked(ctx, cons, asg, CANONICAL_CHALLENGE, CANONICAL_RAND)
+
+
+def test_prove_table_commit_matches_naive():
+    """Fixed-base table commitments == naive fold commitments."""
+    ctx_n = canonical_context(srs_mode="fixed")
+    ctx_t = canonical_context(srs_mode="fixed", commit_mode="table")
+    cons = canonical_constraints()
+    asg = canonical_assignments()
+    p1, _ = PL.prove(ctx_n, cons, asg, CANONICAL_CHALLENGE, CANONICAL_RAND)
+    p2, d2 = PL.prove(ctx_t, cons, asg, CANONICAL_CHALLENGE, CANONICAL_RAND)
+    assert bool(d2.all_ok())
+    for name in ["a_s", "b_s", "c_s", "z_s", "t_lo_s", "t_mid_s", "t_hi_s",
+                 "w_z_s", "w_z_omega_s"]:
+        a, b = getattr(p1, name), getattr(p2, name)
+        assert bool(a.inf) == bool(b.inf), name
+        if not bool(a.inf):
+            assert int(a.x) == int(b.x) and int(a.y) == int(b.y), name
