@@ -47,7 +47,7 @@ from ..ops import ntt as N
 from ..ops.curve import G1
 from ..ops.msm import msm_pippenger
 from .srs import SRS, srs_create, srs_commit_naive
-from .constraints import Constraints, Assignments, satisfies
+from .constraints import Constraints, Assignments
 
 U32 = jnp.uint32
 
@@ -272,7 +272,6 @@ def prove_core(ctx: PlonkContext, selectors: jnp.ndarray,
     # round 2: permutation grand product (src/plonk.h:320-379)
     h_np, _, _ = ctx.domains_host()
     omega_pows_n = jnp.asarray(h_np)                     # omega^0..omega^{n-1}
-    idx = jnp.arange(n - 1)
     w_i = omega_pows_n[:n - 1]                           # omega^{i-1}, i=1..n-1
     aa, bb, cc = a_w[:n - 1], b_w[:n - 1], c_w[:n - 1]
     k1c, k2c = Fr.const(k1), Fr.const(k2)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..ops import ntt as N
 from ..ops.curve import (G1, G2, g1_add, g1_mul, g1_neg, g1_generator,
-                         g2_mul, gt_equal)
+                         gt_equal)
 from ..ops.pairing import pairing
 from .plonk import PlonkContext, Proof, sigma_to_roots
 from .constraints import Constraints
