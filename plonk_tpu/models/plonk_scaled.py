@@ -138,15 +138,20 @@ def _peval_fast(F, coeffs: jnp.ndarray, x) -> jnp.ndarray:
     return t[..., 0]
 
 
-def _commit(ctx: ScaledContext, coeffs_mont: jnp.ndarray) -> G1:
-    """Pippenger MSM commitment; MSM scalars must be standard-form ints."""
+def _commit_many(ctx: ScaledContext, coeff_list) -> G1:
+    """Commit a list of Montgomery-form coefficient vectors with ONE
+    vmapped Pippenger graph (separate calls would replicate the
+    segmented-scan graph per commitment — a compile-size problem)."""
+    from ..ops.msm import msm_pippenger_many
     Fr, Fq = ctx.Fr, ctx.Fq
-    L = min(coeffs_mont.shape[-1], ctx.srs.length)
+    L = ctx.srs.length
     g1s = ctx.srs.g1s
     pts = G1(g1s.x[:L], g1s.y[:L], g1s.inf[:L])
-    scalars = Fr.decode(coeffs_mont[..., :L])
+    padded = jnp.stack([P.pad_to(c, L)[..., :L] for c in coeff_list])
+    scalars = Fr.decode(padded)
     bits = ctx.params.field.p.bit_length()
-    return msm_pippenger(Fq, pts, scalars, window_bits=7, scalar_bits=bits)
+    return msm_pippenger_many(Fq, pts, scalars, window_bits=7,
+                              scalar_bits=bits)
 
 
 def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
@@ -213,9 +218,8 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
     a_x = blind2(rnd[0], rnd[1], f_a_x)
     b_x = blind2(rnd[2], rnd[3], f_b_x)
     c_x = blind2(rnd[4], rnd[5], f_c_x)
-    a_s = _commit(ctx, a_x)
-    b_s = _commit(ctx, b_x)
-    c_s = _commit(ctx, c_x)
+    # (commitments are deferred and batched into one MSM at the end —
+    # with caller-supplied challenges nothing downstream consumes them)
 
     # round 2: grand product (vectorized fractions + prefix scan)
     w_i = h_mont[:n - 1]
@@ -242,7 +246,6 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
         return P.padd(Fr, out, f)
 
     z_x = blind3(rnd[6], rnd[7], rnd[8], acc_x)
-    z_s = _commit(ctx, z_x)
 
     # round 3: quotient on the coset of the 8n domain
     ev = lambda c: _coset_eval(Fr, c, shift_pows, w8, m)
@@ -289,9 +292,6 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
     t_lo_x = t_x[..., :part]
     t_mid_x = t_x[..., part:2 * part]
     t_hi_x = t_x[..., 2 * part:]
-    t_lo_s = _commit(ctx, t_lo_x)
-    t_mid_s = _commit(ctx, t_mid_x)
-    t_hi_s = _commit(ctx, t_hi_x)
 
     # round 4: evaluations at z (log-depth)
     a_z = _peval_fast(Fr, a_x, z)
@@ -345,8 +345,12 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
     zw = Fr.mul(z, Fr.const(omega))
     w_z_omega_x, rem2 = P.divide_by_linear(Fr, z_shift, zw)
 
-    w_z_s = _commit(ctx, w_z_x_quo)
-    w_z_omega_s = _commit(ctx, w_z_omega_x)
+    cms = _commit_many(ctx, [a_x, b_x, c_x, z_x, t_lo_x, t_mid_x, t_hi_x,
+                             w_z_x_quo, w_z_omega_x])
+    pick = lambda i: G1(cms.x[i], cms.y[i], cms.inf[i])
+    a_s, b_s, c_s, z_s = pick(0), pick(1), pick(2), pick(3)
+    t_lo_s, t_mid_s, t_hi_s = pick(4), pick(5), pick(6)
+    w_z_s, w_z_omega_s = pick(7), pick(8)
 
     dec = Fr.decode
     proof = Proof(a_s=a_s, b_s=b_s, c_s=c_s, z_s=z_s, t_lo_s=t_lo_s,
@@ -395,8 +399,8 @@ def _make_vk_scaled(ctx: ScaledContext, selectors, copies) -> ScaledVK:
     stacked = jnp.stack([sel[3], sel[0], sel[1], sel[2], sel[4]] + sig)
     # rows: q_m, q_l, q_r, q_o, q_c, s1, s2, s3
     polys = N.intt(Fr, stacked, omega)
-    cms = [_commit(ctx, polys[i]) for i in range(8)]
-    return ScaledVK(*cms)
+    cms = _commit_many(ctx, [polys[i] for i in range(8)])
+    return ScaledVK(*[G1(cms.x[i], cms.y[i], cms.inf[i]) for i in range(8)])
 
 
 _VERIFY_JIT_CACHE: dict = {}

@@ -48,17 +48,34 @@ class SRS:
 
 
 def srs_create(Fq, curve, secret: int, n: int, mode: str = "reference") -> SRS:
-    """Build the SRS with n+1 G1 powers (src/srs.h:18-43). `secret` is an
-    element of the BASE field (the reference takes GF secret)."""
+    """Build the SRS with n+1 G1 powers (src/srs.h:18-43).
+
+    Scalar-power arithmetic differs by mode:
+    - "reference": powers accumulate in the BASE field exactly like the
+      reference's running gf_mul (src/srs.h:35) — bit-exact parity (the
+      points are all infinity there anyway, src/srs.h:27).
+    - "fixed": powers accumulate MOD THE GROUP ORDER r, which is what KZG
+      actually requires ([s^i]G must be geometric in the exponent group).
+      The reference's mod-p powers coincidentally agree on the toy curve
+      (2^6 < 101 — no wraparound), but diverge for real parameters; the
+      pairing checks fail with mod-p powers."""
     length = n + 1
-    secret = secret % Fq.p
-    # secret powers in the base field, like the reference's running gf_mul:
-    # reference mode starts at s^1 (src/srs.h:33-36 quirk), fixed at s^0.
-    powers = []
-    cur = secret if mode == "reference" else 1
-    for _ in range(length):
-        powers.append(cur)
-        cur = (cur * secret) % Fq.p
+    if mode == "reference":
+        secret = secret % Fq.p
+        # reference quirk: loop starts at s^1 even for index 0
+        powers = []
+        cur = secret
+        for _ in range(length):
+            powers.append(cur)
+            cur = (cur * secret) % Fq.p
+    else:
+        r = curve.r
+        s = secret % r
+        powers = []
+        cur = 1
+        for _ in range(length):
+            powers.append(cur)
+            cur = (cur * s) % r
     powers = jnp.asarray(np.array(powers, dtype=np.uint32))
 
     if mode == "reference":

@@ -290,8 +290,26 @@ class MontField:
         r, _, _ = jax.lax.fori_loop(0, nbits, body, (r0, a, e))
         return r
 
+    def pow_static_rolled(self, a: jnp.ndarray, e: int) -> jnp.ndarray:
+        """a^e for a static exponent as a ROLLED fori loop (compile-size
+        friendly: the unrolled square-and-multiply inlines ~30 Montgomery
+        muls (~1400 HLO) at every call site — ruinous inside scanned EC
+        formulas). MSB-first over the exponent's bits."""
+        if e <= 3:
+            return self.pow_static(a, e)
+        bits = jnp.asarray(
+            [int(b) for b in bin(e)[3:]], dtype=jnp.uint32)
+        a = _u32(a)
+
+        def body(i, acc):
+            acc = self.mont_mul(acc, acc)
+            withx = self.mont_mul(acc, a)
+            return jnp.where(bits[i] == 1, withx, acc)
+
+        return jax.lax.fori_loop(0, bits.shape[0], body, a)
+
     def inv(self, a):
-        return self.pow_static(a, self.p - 2)
+        return self.pow_static_rolled(a, self.p - 2)
 
     def div(self, a, b):
         return self.mul(a, self.inv(b))

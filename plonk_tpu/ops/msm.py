@@ -84,22 +84,53 @@ def _bucket_reduce(F, buckets: G1) -> G1:
 
 def msm_pippenger(F, pts: G1, scalars: jnp.ndarray, window_bits: int = 5,
                   scalar_bits: int = 32) -> G1:
-    """Full Pippenger MSM: sum_i scalars[i] * pts[i]."""
+    """Full Pippenger MSM: sum_i scalars[i] * pts[i].
+
+    All windows are processed by ONE vmapped bucket-accumulation graph
+    (a python loop would replicate the segmented-scan graph per window —
+    a compile-size problem at production sizes)."""
     scalars = jnp.asarray(scalars, dtype=U32)
     n_windows = -(-scalar_bits // window_bits)
     n_buckets = 1 << window_bits
+
+    shifts = jnp.asarray([wi * window_bits for wi in range(n_windows)],
+                         dtype=U32)
+    digits = (scalars[None, :] >> shifts[:, None]) & (n_buckets - 1)
+
+    def one_window(d):
+        buckets = msm_window_buckets(F, pts, d, n_buckets)
+        return _bucket_reduce(F, buckets)
+
+    wtot = jax.vmap(one_window)(digits)      # G1 batch of shape (n_windows,)
 
     total = G1.identity()
     for wi in reversed(range(n_windows)):
         if wi != n_windows - 1:
             for _ in range(window_bits):
                 total = g1_double(F, total)
-        digits = (scalars >> (wi * window_bits)) & (n_buckets - 1)
-        buckets = msm_window_buckets(F, pts, digits, n_buckets)
-        total = g1_add(F, total, _bucket_reduce(F, buckets))
+        total = g1_add(F, total, G1(wtot.x[wi], wtot.y[wi], wtot.inf[wi]))
     return total
+
+
+def msm_pippenger_many(F, pts: G1, scalars_batch: jnp.ndarray,
+                       window_bits: int = 5, scalar_bits: int = 32) -> G1:
+    """Batched MSM over a (B, L) scalar matrix against shared points:
+    ONE compiled graph for all B commitments (the prover commits 9
+    polynomials against the same SRS)."""
+    fn = jax.vmap(lambda s: msm_pippenger(F, pts, s, window_bits,
+                                          scalar_bits))
+    return fn(jnp.asarray(scalars_batch, dtype=U32))
 
 
 def msm(F, pts: G1, scalars: jnp.ndarray, window_bits: int = 5,
         scalar_bits: int = 32) -> G1:
     return msm_pippenger(F, pts, scalars, window_bits, scalar_bits)
+
+
+# TODO(next round): _seg_scan_add uses lax.associative_scan, which unrolls
+# log2(n) levels of the EC-add combine into the graph — at 2^16+ points the
+# XLA graph (and compile time) grows into the hundreds of thousands of ops.
+# Replace with a chunked segmented scan: reshape the sorted points to
+# (chunks, chunk_len), run ONE rolled lax.scan of length chunk_len
+# vectorized across chunks, then stitch chunk boundaries with a small scan.
+# Compile size becomes O(chunk body), runtime stays vectorized.

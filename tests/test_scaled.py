@@ -190,7 +190,8 @@ def _mini_reference_prover(n, selectors, copies, a, b, c, ch, rnd):
     r_x = poly_add(r_x, poly_scale(z_x, peval(l1, z) * alpha % p * alpha % p))
     r_z = peval(r_x, z)
     return dict(a_z=a_z, b_z=b_z, c_z=c_z, s_sigma_1_z=s1_z,
-                s_sigma_2_z=s2_z, r_z=r_z, z_omega_z=zw_z)
+                s_sigma_2_z=s2_z, r_z=r_z, z_omega_z=zw_z,
+                _t_z=peval(t_x, z))
 
 
 @pytest.fixture(scope="module")
@@ -198,15 +199,17 @@ def small_setup():
     n = 8
     ctx = PS.scaled_new(n, secret=987654321)
     selectors, copies, a, b, c = square_chain_circuit(R, n, x0=5)
-    fn = jax.jit(lambda ch, rnd: PS.prove_scaled(
-        ctx, jnp.asarray(selectors), jnp.asarray(copies), jnp.asarray(a),
-        jnp.asarray(b), jnp.asarray(c), ch, rnd))
+    sel_j, cp_j = jnp.asarray(selectors), jnp.asarray(copies)
+    raw = jax.jit(lambda aw, bw, cw, ch, rnd: PS.prove_scaled(
+        ctx, sel_j, cp_j, aw, bw, cw, ch, rnd))
+    fn = lambda ch, rnd: raw(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+                             ch, rnd)
     proof, diags = fn(jnp.asarray(CH), jnp.asarray(RND))
-    return ctx, selectors, copies, (a, b, c), proof, diags, fn
+    return ctx, selectors, copies, (a, b, c), proof, diags, fn, raw
 
 
 def test_scaled_diags(small_setup):
-    _, _, _, _, proof, diags, _ = small_setup
+    _, _, _, _, proof, diags, _, _ = small_setup
     assert bool(diags.satisfied)
     assert bool(diags.t_tail_zero)
     assert bool(diags.w_z_rem_zero)
@@ -216,15 +219,17 @@ def test_scaled_diags(small_setup):
 def test_scaled_evals_match_mini_reference(small_setup):
     """Every scalar in the proof matches an independent python-int
     implementation (Lagrange + schoolbook + long division)."""
-    ctx, selectors, copies, wit, proof, diags, _ = small_setup
+    ctx, selectors, copies, wit, proof, diags, _, _ = small_setup
     a, b, c = wit
     expected = _mini_reference_prover(8, selectors, copies, a, b, c, CH, RND)
     for k, val in expected.items():
+        if k.startswith("_"):
+            continue
         assert int(getattr(proof, k)) == val, k
 
 
 def test_scaled_prove_verify_roundtrip(small_setup):
-    ctx, selectors, copies, wit, proof, diags, fn = small_setup
+    ctx, selectors, copies, wit, proof, diags, fn, _ = small_setup
     vk = PS.make_vk_scaled(ctx, selectors, copies)
     assert PS.verify_scaled(ctx, vk, proof, CH)
     # tampered evaluation rejected
@@ -241,15 +246,13 @@ def test_scaled_prove_verify_roundtrip(small_setup):
     assert not PS.verify_scaled(ctx, vk, proof2, CH)
 
 
-def test_scaled_bad_witness_rejected():
-    n = 8
-    ctx = PS.scaled_new(n, secret=13579)
-    selectors, copies, a, b, c = square_chain_circuit(R, n)
+def test_scaled_bad_witness_rejected(small_setup):
+    ctx, selectors, copies, wit, _, _, _, raw = small_setup
+    a, b, c = wit
     c = c.copy()
     c[3] = (c[3] + 1) % R
-    _, diags = PS.prove_scaled(ctx, jnp.asarray(selectors),
-                               jnp.asarray(copies), jnp.asarray(a),
-                               jnp.asarray(b), jnp.asarray(c), CH, RND)
+    _, diags = raw(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+                   jnp.asarray(CH), jnp.asarray(RND))
     assert not bool(diags.satisfied)
 
 
