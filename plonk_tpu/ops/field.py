@@ -220,9 +220,16 @@ class MontField:
         return _u32((v % self.p) * self.r_mod_p % self.p)
 
     def array(self, xs) -> jnp.ndarray:
+        return jnp.asarray(self.encode_host(xs))
+
+    def encode_host(self, xs):
+        """Host-side (numpy uint64) Montgomery encoding — produces a plain
+        constant instead of an encode-op chain in the traced graph (XLA's
+        SPMD partitioner is catastrophically slow at folding those)."""
         import numpy as np
-        std = np.mod(np.asarray(xs, dtype=np.int64), self.p)
-        return self.encode(jnp.asarray(std, dtype=U32))
+        std = np.mod(np.asarray(xs, dtype=np.int64), self.p).astype(np.uint64)
+        return (std * np.uint64(self.r_mod_p) % np.uint64(self.p)).astype(
+            np.uint32)
 
     def zeros(self, shape) -> jnp.ndarray:
         return jnp.zeros(shape, dtype=U32)

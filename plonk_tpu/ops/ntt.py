@@ -103,22 +103,33 @@ def _stage_tables(p: int, w: int, n: int, C: int):
     return tuple(tables)
 
 
-def ntt(F, x: jnp.ndarray, w: int) -> jnp.ndarray:
+def ntt(F, x: jnp.ndarray, w: int, layout: str = "auto") -> jnp.ndarray:
     """Forward transform: y[k] = sum_i x[i] * w^(ik), vectorized over any
     leading batch dims. `w` is a host-side primitive n-th root of unity.
     n = x.shape[-1] must be a power of two.
 
-    Implementation: iterative DIT over a (rows, C) blocked layout. Stages
+    layout="blocked": iterative DIT over a (rows, C) blocked layout. Stages
     with butterfly distance < C use lane rolls + masked selects (full VPU
     lane utilization — the naive (..., 2, half) reshape starves the
     hardware when half < 128); stages with distance >= C pair row blocks
-    with the minor dimension intact."""
+    with the minor dimension intact.
+
+    layout="simple": the plain (..., 2, half) reshape butterflies — used
+    inside shard_map bodies, where the SPMD partitioner pathologically
+    blows up compiling the roll-based stages (measured 100x compile-time
+    regressions), and for small transforms where layout doesn't matter.
+
+    layout="auto": blocked for n >= 4096, simple otherwise."""
     n = x.shape[-1]
     if n & (n - 1):
         raise ValueError("NTT size must be a power of two")
     if n == 1:
         return x
     _check_root(F.p, w, n)
+    if layout == "auto":
+        layout = "blocked" if n >= 4096 else "simple"
+    if layout == "simple":
+        return _ntt_simple(F, x, w)
     C = min(n, _ROW)
     R = n // C
     tables = [F.array(t) for t in _stage_tables(F.p, w, n, C)]
@@ -168,12 +179,31 @@ def ntt(F, x: jnp.ndarray, w: int) -> jnp.ndarray:
     return y.reshape(batch + (n,))
 
 
-def intt(F, x: jnp.ndarray, w: int) -> jnp.ndarray:
+def _ntt_simple(F, x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Reshape-butterfly DIT (shard_map-friendly; see ntt docstring)."""
+    n = x.shape[-1]
+    tw_all = F.array(_twiddle_table(F.p, w, n))
+    y = _bit_reverse(x, n)
+    half = 1
+    while half < n:
+        stride = n // (2 * half)
+        tw = tw_all[::stride][:half]
+        shape = y.shape[:-1] + (n // (2 * half), 2, half)
+        yv = y.reshape(shape)
+        even = yv[..., 0, :]
+        odd = F.mul(yv[..., 1, :], tw)
+        y = jnp.concatenate([F.add(even, odd), F.sub(even, odd)],
+                            axis=-1).reshape(y.shape[:-1] + (n,))
+        half *= 2
+    return y
+
+
+def intt(F, x: jnp.ndarray, w: int, layout: str = "auto") -> jnp.ndarray:
     """Inverse transform with the forward root `w`:
     coeffs[i] = (1/n) sum_k x[k] w^(-ik)."""
     n = x.shape[-1]
     w_inv = pow(w, -1, F.p)
-    y = ntt(F, x, w_inv)
+    y = ntt(F, x, w_inv, layout=layout)
     return F.mul(y, F.const(pow(n, -1, F.p)))
 
 

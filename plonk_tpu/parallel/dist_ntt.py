@@ -32,7 +32,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.ntt import ntt as local_ntt
+from ..ops.ntt import ntt as _ntt
+
+
+def local_ntt(F, x, w):
+    # the roll-based blocked layout makes the SPMD partitioner blow up
+    # compile times inside shard_map; use the reshape butterflies here
+    return _ntt(F, x, w, layout="simple")
 
 U32 = jnp.uint32
 
@@ -104,23 +110,40 @@ def _fwd_local(F, x_loc, *, w, n1, n2, n_dev, axis, inverse):
     return local_ntt(F, rows, pow(wq, n1, F.p))
 
 
+# Compiled-callable cache: on the virtual-CPU backend every distinct
+# shard_map body costs ~n_dev times a normal compile (the partitions are
+# replicated), so recompiling per call is ruinous for the test suite.
+_SHMAP_CACHE: dict = {}
+
+
+def _cached_shmap(key, build):
+    f = _SHMAP_CACHE.get(key)
+    if f is None:
+        f = jax.jit(build())
+        _SHMAP_CACHE[key] = f
+    return f
+
+
 def dist_ntt(F, mesh: Mesh, x, w: int, axis: str = "sp",
              inverse: bool = False):
     """Forward (or unscaled-inverse) transform of a sharded 1-D array of
     length n. Input natural order; output in (k1, k2) transposed layout,
-    sharded the same way. Wrap with jit for fusion."""
+    sharded the same way."""
     n = x.shape[-1]
     n_dev = mesh.shape[axis]
     n1, n2 = _split(n, n_dev)
 
-    def body(x_loc):
-        loc = x_loc.reshape(n1 // n_dev, n2)
-        out = _fwd_local(F, loc, w=w, n1=n1, n2=n2, n_dev=n_dev, axis=axis,
-                         inverse=inverse)
-        return out.reshape(-1)
+    def build():
+        def body(x_loc):
+            loc = x_loc.reshape(n1 // n_dev, n2)
+            out = _fwd_local(F, loc, w=w, n1=n1, n2=n2, n_dev=n_dev,
+                             axis=axis, inverse=inverse)
+            return out.reshape(-1)
 
-    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
-                      check_vma=False)
+        return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(axis), check_vma=False)
+
+    f = _cached_shmap(("fwd", F.p, mesh, axis, n, w, inverse), build)
     return f(x)
 
 
@@ -129,15 +152,18 @@ def _untranspose(F, mesh, y, n1, n2, axis):
     local transpose)."""
     n_dev = mesh.shape[axis]
 
-    def body(y_loc):
-        rows = y_loc.reshape(n1 // n_dev, n2)            # rows k1, cols k2
-        cols = jax.lax.all_to_all(rows, axis, split_axis=1, concat_axis=0,
-                                  tiled=True)            # (n1, n2/n_dev)
-        # natural order as (k2, k1) row-major: transpose the local block
-        return cols.swapaxes(0, 1).reshape(-1)
+    def build():
+        def body(y_loc):
+            rows = y_loc.reshape(n1 // n_dev, n2)        # rows k1, cols k2
+            cols = jax.lax.all_to_all(rows, axis, split_axis=1,
+                                      concat_axis=0, tiled=True)
+            # natural order as (k2, k1) row-major: transpose locally
+            return cols.swapaxes(0, 1).reshape(-1)
 
-    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
-                      check_vma=False)
+        return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(axis), check_vma=False)
+
+    f = _cached_shmap(("untrans", F.p, mesh, axis, n1, n2), build)
     return f(y)
 
 
@@ -170,8 +196,11 @@ def dist_intt(F, mesh: Mesh, y, w: int, axis: str = "sp"):
                                  tiled=True)
         return nat.reshape(-1)
 
-    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
-                      check_vma=False)
+    def build():
+        return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(axis), check_vma=False)
+
+    f = _cached_shmap(("inv", F.p, mesh, axis, n, w), build)
     out = f(y)
     return F.mul(out, F.const(pow(n, -1, F.p)))
 
