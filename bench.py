@@ -32,7 +32,7 @@ def _timeit(fn, *args, reps=3):
     return (time.perf_counter() - t0) / reps, out
 
 
-def bench_prover_batch(batch: int = 8192):
+def bench_prover_batch(batch: int = 32768):
     import jax
     import jax.numpy as jnp
     from plonk_tpu.models.presets import (canonical_constraints,
