@@ -171,3 +171,33 @@ class TestBatchedProver:
         proofs, diags = run(a, b, c, chs, rnds)
         assert bool(jnp.all(diags.satisfied))
         assert list(np.asarray(proofs.r_z)) == [15] * B_
+
+
+class TestDistScan:
+    M = MontField(BABYBEAR)
+
+    def test_prefix_prod_matches_local(self, mesh8):
+        from plonk_tpu.parallel import dist_scan as DS
+        rng = np.random.default_rng(7)
+        n = 1 << 9
+        v = self.M.array(rng.integers(1, self.M.p, size=n, dtype=np.uint32))
+        vs = MS.shard_vector(mesh8, v, "sp")
+        dist = np.asarray(DS.dist_prefix_prod(self.M, mesh8, vs, "sp"))
+        local = np.asarray(jax.lax.associative_scan(self.M.mul, v))
+        np.testing.assert_array_equal(dist, local)
+
+    def test_grand_product(self, mesh8):
+        """Sharded accumulator == the single-chip prover's construction
+        (src/plonk.h:320-359 semantics)."""
+        from plonk_tpu.parallel import dist_scan as DS
+        rng = np.random.default_rng(8)
+        n = 1 << 9
+        fr_std = rng.integers(1, self.M.p, size=n - 1, dtype=np.uint32)
+        fractions = self.M.array(np.concatenate([fr_std, [1]]))
+        vs = MS.shard_vector(mesh8, fractions, "sp")
+        acc = np.asarray(self.M.decode(
+            DS.dist_grand_product(self.M, mesh8, vs, "sp")))
+        expected = [1]
+        for f in fr_std:
+            expected.append(expected[-1] * int(f) % self.M.p)
+        np.testing.assert_array_equal(acc, expected)
