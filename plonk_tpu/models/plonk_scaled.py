@@ -142,6 +142,11 @@ def _commit_many(ctx: ScaledContext, coeff_list) -> G1:
     """Commit a list of Montgomery-form coefficient vectors with ONE
     vmapped Pippenger graph (separate calls would replicate the
     segmented-scan graph per commitment — a compile-size problem)."""
+    # NOTE: msm_pippenger_jac_many (Jacobian buckets, ops/msm.py) computes
+    # identical commitments with ~50x less arithmetic per EC add, but the
+    # CPU XLA backend compiles its scan body pathologically slowly; keep
+    # the affine+rolled-inversion path here until the TPU compile cost is
+    # characterized.
     from ..ops.msm import msm_pippenger_many
     Fr, Fq = ctx.Fr, ctx.Fq
     L = ctx.srs.length

@@ -267,3 +267,98 @@ def gt_pow(F, d_const: int, x: GT, e, nbits: int = 32) -> GT:
 
 def gt_equal(x: GT, y: GT) -> jnp.ndarray:
     return jnp.logical_and(x.a == y.a, x.b == y.b)
+
+
+# ---------------- Jacobian coordinates (performance path) ----------------
+#
+# The affine kernels above are the bit-exact parity path; every add costs a
+# Fermat inversion (src/g1.h mirrors). For MSM/commitment hot loops the
+# framework uses Jacobian projective coordinates: ~16 field muls per add,
+# NO inversions, one batched affine conversion at the end. Same group
+# elements, exact in the field (tests assert equality with the affine path).
+
+class G1J(NamedTuple):
+    X: jnp.ndarray
+    Y: jnp.ndarray
+    Z: jnp.ndarray  # Z == 0 encodes the point at infinity
+
+    @staticmethod
+    def identity(F, shape=()):
+        return G1J(jnp.broadcast_to(F.ones(), shape).astype(U32),
+                   jnp.broadcast_to(F.ones(), shape).astype(U32),
+                   jnp.zeros(shape, U32))
+
+
+def jac_from_affine(F, p: G1) -> G1J:
+    one = jnp.broadcast_to(F.ones(), jnp.shape(p.x)).astype(U32)
+    z = jnp.where(p.inf, jnp.zeros_like(one), one)
+    return G1J(jnp.where(p.inf, one, p.x), jnp.where(p.inf, one, p.y), z)
+
+
+def jac_to_affine(F, p: G1J) -> G1:
+    zinv = F.inv(p.Z)                     # inv(0) = 0 -> garbage, masked
+    zi2 = F.mul(zinv, zinv)
+    x = F.mul(p.X, zi2)
+    y = F.mul(p.Y, F.mul(zi2, zinv))
+    inf = p.Z == 0
+    return G1(jnp.where(inf, jnp.zeros_like(x), x),
+              jnp.where(inf, jnp.zeros_like(y), y), inf)
+
+
+def jac_double(F, p: G1J) -> G1J:
+    """2P for a = 0 curves (y^2 = x^3 + b). Z=0 and Y=0 map to infinity."""
+    A = F.mul(p.X, p.X)
+    B = F.mul(p.Y, p.Y)
+    Cc = F.mul(B, B)
+    t = F.add(p.X, B)
+    D = F.mul(F.const(2), F.sub(F.sub(F.mul(t, t), A), Cc))
+    E = F.mul(F.const(3), A)
+    Ff = F.mul(E, E)
+    X3 = F.sub(Ff, F.mul(F.const(2), D))
+    Y3 = F.sub(F.mul(E, F.sub(D, X3)),
+               F.mul(F.const(8), Cc))
+    Z3 = F.mul(F.const(2), F.mul(p.Y, p.Z))
+    return G1J(X3, Y3, Z3)
+
+
+def jac_add(F, p: G1J, q: G1J) -> G1J:
+    """Complete-ish Jacobian addition: identity, equal and inverse points
+    handled with masked selects (branchless)."""
+    Z1Z1 = F.mul(p.Z, p.Z)
+    Z2Z2 = F.mul(q.Z, q.Z)
+    U1 = F.mul(p.X, Z2Z2)
+    U2 = F.mul(q.X, Z1Z1)
+    S1 = F.mul(p.Y, F.mul(q.Z, Z2Z2))
+    S2 = F.mul(q.Y, F.mul(p.Z, Z1Z1))
+    H = F.sub(U2, U1)
+    r = F.sub(S2, S1)
+
+    HH = F.mul(H, H)
+    HHH = F.mul(H, HH)
+    V = F.mul(U1, HH)
+    rr = F.mul(r, r)
+    X3 = F.sub(F.sub(rr, HHH), F.mul(F.const(2), V))
+    Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.mul(S1, HHH))
+    Z3 = F.mul(F.mul(p.Z, q.Z), H)
+    gen = G1J(X3, Y3, Z3)
+
+    dbl = jac_double(F, p)
+
+    p_inf = p.Z == 0
+    q_inf = q.Z == 0
+    same_x = jnp.logical_and(H == 0, jnp.logical_and(~p_inf, ~q_inf))
+    same_pt = jnp.logical_and(same_x, r == 0)
+    inverse = jnp.logical_and(same_x, r != 0)
+
+    def sel(m, a, b):
+        return jnp.where(m, a, b)
+
+    out = G1J(sel(same_pt, dbl.X, gen.X), sel(same_pt, dbl.Y, gen.Y),
+              sel(same_pt, dbl.Z, gen.Z))
+    zero = jnp.zeros_like(out.Z)
+    out = G1J(out.X, out.Y, sel(inverse, zero, out.Z))
+    out = G1J(sel(p_inf, q.X, out.X), sel(p_inf, q.Y, out.Y),
+              sel(p_inf, q.Z, out.Z))
+    out = G1J(sel(q_inf, p.X, out.X), sel(q_inf, p.Y, out.Y),
+              sel(q_inf, p.Z, out.Z))
+    return out

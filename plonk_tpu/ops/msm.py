@@ -134,3 +134,96 @@ def msm(F, pts: G1, scalars: jnp.ndarray, window_bits: int = 5,
 # (chunks, chunk_len), run ONE rolled lax.scan of length chunk_len
 # vectorized across chunks, then stitch chunk boundaries with a small scan.
 # Compile size becomes O(chunk body), runtime stays vectorized.
+
+
+# ---------------- Jacobian-coordinate MSM (hot path) ----------------
+#
+# Identical group outputs to msm_pippenger (asserted in tests); avoids the
+# per-add Fermat inversion of the affine formulas — the dominant cost in
+# production-size commitments.
+
+from .curve import G1J, jac_from_affine, jac_to_affine, jac_add, jac_double
+
+
+def _seg_scan_add_jac(F, pts: G1J, starts: jnp.ndarray) -> G1J:
+    def combine(a, b):
+        ax, ay, az, aflag = a
+        bx, by, bz, bflag = b
+        s = jac_add(F, G1J(ax, ay, az), G1J(bx, by, bz))
+        keep_b = bflag
+        return (jnp.where(keep_b, bx, s.X),
+                jnp.where(keep_b, by, s.Y),
+                jnp.where(keep_b, bz, s.Z),
+                jnp.logical_or(aflag, bflag))
+
+    X, Y, Z, _ = jax.lax.associative_scan(
+        combine, (pts.X, pts.Y, pts.Z, starts))
+    return G1J(X, Y, Z)
+
+
+def _window_buckets_jac(F, pts: G1J, digits: jnp.ndarray,
+                        n_buckets: int) -> G1J:
+    n = digits.shape[0]
+    order = jnp.argsort(digits)
+    sd = digits[order]
+    sp = G1J(pts.X[order], pts.Y[order], pts.Z[order])
+    starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), sd[1:] != sd[:-1]])
+    scanned = _seg_scan_add_jac(F, sp, starts)
+    is_end = jnp.concatenate([sd[:-1] != sd[1:], jnp.ones((1,), jnp.bool_)])
+    write_idx = jnp.where(is_end, sd.astype(jnp.int32), n_buckets)
+    ident = G1J.identity(F)
+    bx = jnp.full((n_buckets + 1,), ident.X, U32).at[write_idx].set(scanned.X)
+    by = jnp.full((n_buckets + 1,), ident.Y, U32).at[write_idx].set(scanned.Y)
+    bz = jnp.zeros((n_buckets + 1,), U32).at[write_idx].set(scanned.Z)
+    return G1J(bx[:n_buckets], by[:n_buckets], bz[:n_buckets])
+
+
+def _bucket_reduce_jac(F, buckets: G1J) -> G1J:
+    n_buckets = buckets.X.shape[0]
+
+    def body(i, carry):
+        running, total = carry
+        b = n_buckets - 1 - i
+        pt = G1J(buckets.X[b], buckets.Y[b], buckets.Z[b])
+        running = jac_add(F, running, pt)
+        total = jac_add(F, total, running)
+        return running, total
+
+    ident = G1J.identity(F)
+    _, total = jax.lax.fori_loop(0, n_buckets - 1, body, (ident, ident))
+    return total
+
+
+def msm_pippenger_jac(F, pts: G1, scalars: jnp.ndarray, window_bits: int = 7,
+                      scalar_bits: int = 32) -> G1:
+    """Pippenger with Jacobian bucket arithmetic; returns an affine G1."""
+    scalars = jnp.asarray(scalars, dtype=U32)
+    n_windows = -(-scalar_bits // window_bits)
+    n_buckets = 1 << window_bits
+    jpts = jac_from_affine(F, pts)
+
+    shifts = jnp.asarray([wi * window_bits for wi in range(n_windows)],
+                         dtype=U32)
+    digits = (scalars[None, :] >> shifts[:, None]) & (n_buckets - 1)
+
+    def one_window(d):
+        return _bucket_reduce_jac(F, _window_buckets_jac(F, jpts, d,
+                                                         n_buckets))
+
+    wtot = jax.vmap(one_window)(digits)
+
+    total = G1J.identity(F)
+    for wi in reversed(range(n_windows)):
+        if wi != n_windows - 1:
+            for _ in range(window_bits):
+                total = jac_double(F, total)
+        total = jac_add(F, total, G1J(wtot.X[wi], wtot.Y[wi], wtot.Z[wi]))
+    return jac_to_affine(F, total)
+
+
+def msm_pippenger_jac_many(F, pts: G1, scalars_batch: jnp.ndarray,
+                           window_bits: int = 7,
+                           scalar_bits: int = 32) -> G1:
+    fn = jax.vmap(lambda s: msm_pippenger_jac(F, pts, s, window_bits,
+                                              scalar_bits))
+    return fn(jnp.asarray(scalars_batch, dtype=U32))

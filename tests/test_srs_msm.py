@@ -104,3 +104,31 @@ def test_pippenger_with_infinity_points():
     fast = MSM.msm_pippenger(Fq, pts, scalars, window_bits=5, scalar_bits=5)
     naive = S.srs_commit_naive(Fq, pts, scalars)
     assert bool(C.g1_equal(fast, naive))
+
+
+def test_pippenger_jacobian_matches_affine():
+    """Jacobian-coordinate MSM (no per-add inversions) == affine MSM, toy
+    curve and scaled curve."""
+    from plonk_tpu.ops.msm import msm_pippenger_jac
+    from plonk_tpu.ops.field import MontField
+    from plonk_tpu.utils.params import SCALED_CURVE, SCALED_FQ
+    rng = np.random.default_rng(5)
+    # toy curve
+    g = C.g1_generator(CV, Fq)
+    n = 64
+    pts = C.g1_mul(Fq, g, jnp.asarray(rng.integers(1, 17, size=n,
+                                                   dtype=np.uint32)))
+    scalars = jnp.asarray(rng.integers(0, 17, size=n, dtype=np.uint32))
+    aff = MSM.msm_pippenger(Fq, pts, scalars, window_bits=5, scalar_bits=5)
+    jac = msm_pippenger_jac(Fq, pts, scalars, window_bits=5, scalar_bits=5)
+    assert bool(C.g1_equal(aff, jac))
+    # scaled curve (Montgomery base field)
+    Ms = MontField(SCALED_FQ)
+    gs = C.g1_generator(SCALED_CURVE, Ms)
+    pts_s = C.g1_mul(Ms, gs, jnp.asarray(
+        rng.integers(1, 1 << 27, size=32, dtype=np.uint32)), nbits=27)
+    sc_s = jnp.asarray(rng.integers(0, SCALED_CURVE.r, size=32,
+                                    dtype=np.uint32))
+    aff_s = MSM.msm_pippenger(Ms, pts_s, sc_s, window_bits=7, scalar_bits=27)
+    jac_s = msm_pippenger_jac(Ms, pts_s, sc_s, window_bits=7, scalar_bits=27)
+    assert bool(C.g1_equal(aff_s, jac_s))
