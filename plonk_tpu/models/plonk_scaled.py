@@ -142,12 +142,18 @@ def _commit_many(ctx: ScaledContext, coeff_list) -> G1:
     """Commit a list of Montgomery-form coefficient vectors with ONE
     vmapped Pippenger graph (separate calls would replicate the
     segmented-scan graph per commitment — a compile-size problem)."""
-    # NOTE: msm_pippenger_jac_many (Jacobian buckets, ops/msm.py) computes
-    # identical commitments with ~50x less arithmetic per EC add, but the
-    # CPU XLA backend compiles its scan body pathologically slowly; keep
-    # the affine+rolled-inversion path here until the TPU compile cost is
-    # characterized.
-    from ..ops.msm import msm_pippenger_many
+    # Backend-dependent bucket arithmetic (identical group outputs,
+    # asserted in tests/test_srs_msm.py): Jacobian on TPU (measured 1.6x
+    # faster at 2^16 points, 25ms vs 40ms), affine+rolled-inversion on the
+    # CPU backend (the CPU XLA pipeline compiles the Jacobian scan body
+    # pathologically slowly). Override with PLONK_TPU_JAC_MSM=0/1.
+    import os
+    from ..ops.msm import msm_pippenger_many, msm_pippenger_jac_many
+    flag = os.environ.get("PLONK_TPU_JAC_MSM")
+    if flag is None:
+        use_jac = jax.default_backend() != "cpu"
+    else:
+        use_jac = flag == "1"
     Fr, Fq = ctx.Fr, ctx.Fq
     L = ctx.srs.length
     g1s = ctx.srs.g1s
@@ -155,8 +161,8 @@ def _commit_many(ctx: ScaledContext, coeff_list) -> G1:
     padded = jnp.stack([P.pad_to(c, L)[..., :L] for c in coeff_list])
     scalars = Fr.decode(padded)
     bits = ctx.params.field.p.bit_length()
-    return msm_pippenger_many(Fq, pts, scalars, window_bits=7,
-                              scalar_bits=bits)
+    fn = msm_pippenger_jac_many if use_jac else msm_pippenger_many
+    return fn(Fq, pts, scalars, window_bits=7, scalar_bits=bits)
 
 
 def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
