@@ -303,7 +303,7 @@ def compute_witness(p: int, gl: GateList, vars: VarMap,
             cv = (av + bv) % p
         elif g.q_l % p == 1 and g.q_r % p == p - 1:    # sub gate
             cv = (av - bv) % p
-        else:                                           # bind gates
+        else:                                           # bind / no-op gates
             cv = values.get(ci, 0) if ci != UNUSED_INDEX else 0
         if ci != UNUSED_INDEX:
             values[ci] = cv
@@ -313,3 +313,40 @@ def compute_witness(p: int, gl: GateList, vars: VarMap,
     return Assignments(np.array(a_col, dtype=np.int64),
                        np.array(b_col, dtype=np.int64),
                        np.array(c_col, dtype=np.int64))
+
+
+def constraints_to_tensors(cons: Constraints):
+    """Constraints -> (selectors (5, n), copies (3, n, 2)) uint/int arrays,
+    the prover-core input format."""
+    selectors = np.stack([cons.q_l, cons.q_r, cons.q_o, cons.q_m,
+                          cons.q_c]).astype(np.uint32)
+    copies = np.stack([cons.c_a, cons.c_b, cons.c_c])
+    return selectors, copies
+
+
+def pad_gate_list(p: int, gl: GateList, n: int) -> GateList:
+    """Pad a compiled circuit to n gates (the PLONK domain must be a power
+    of two; the reference never needs this because its tests hand-build
+    exactly |H| gates). Padding gates are all-zero selector rows whose
+    wires are fresh unused variables (self-referencing copy cycles)."""
+    if gl.num_gates > n:
+        raise ValueError(f"circuit has {gl.num_gates} gates > n = {n}")
+    out = GateList(list(gl.gates), list(gl.a_indices), list(gl.b_indices),
+                   list(gl.c_indices))
+    noop = Gate(0, 0, 0, 0, 0)
+    while out.num_gates < n:
+        out.append(noop, UNUSED_INDEX, UNUSED_INDEX, UNUSED_INDEX)
+    return out
+
+
+def frontend_circuit(p: int, expr: Expr, inputs: dict, n: int):
+    """Full frontend pipeline: expression -> gates -> padded constraint
+    tensors + witness columns, ready for prove_core / prove_scaled.
+    Returns (selectors, copies, a, b, c)."""
+    vars, gl, root = compile_expression(p, expr)
+    gl = pad_gate_list(p, gl, n)
+    cons = gate_list_to_constraints(p, gl)
+    witness = compute_witness(p, gl, vars, inputs)
+    selectors, copies = constraints_to_tensors(cons)
+    return (selectors, copies, witness.a.astype(np.uint32),
+            witness.b.astype(np.uint32), witness.c.astype(np.uint32))

@@ -97,3 +97,41 @@ def test_compute_witness_pythagoras():
     w = CS.compute_witness(P, gates, vars, {"a": 3, "b": 4, "c": 5})
     # 9 + 16 = 25 -> v4 = 25 % 17 = 8; v6 = 25 % 17 = 8; v7 = 0
     assert list(w.c) == [9, 16, (9 + 16) % 17, 25 % 17, 0, 0]
+
+
+def test_frontend_to_prover_end_to_end():
+    """Expression frontend -> padded tensors -> scaled prover + verifier:
+    the automated pipeline the reference leaves manual (src/plonk-test.c
+    hand-writes everything). Uses the scaled field: in F17 a domain of 8
+    leaves only one nontrivial coset, so toy PLONK caps at n = 4 — too
+    small for the 6-gate pythagoras circuit."""
+    import jax
+    import jax.numpy as jnp
+    from plonk_tpu.models.constraints import frontend_circuit
+    from plonk_tpu.models import plonk_scaled as PS
+    from plonk_tpu.utils.params import SCALED_FR
+
+    R = SCALED_FR.p
+    a, b, c = CS.Var("a"), CS.Var("b"), CS.Var("c")
+    expr = (a * a + b * b) - (c * c)
+    n = 8  # 6 gates padded to the next power of two
+    sel, copies, wa, wb, wc = frontend_circuit(R, expr,
+                                               {"a": 3, "b": 4, "c": 5}, n)
+    assert sel.shape == (5, n) and copies.shape == (3, n, 2)
+    ctx = PS.scaled_new(n, secret=111222333)
+    ch = np.array([101, 202, 303, 404, 505], dtype=np.uint32)
+    rnd = np.arange(1, 10, dtype=np.uint32)
+    proof, diags = jax.jit(lambda ch, rnd: PS.prove_scaled(
+        ctx, jnp.asarray(sel.astype(np.uint32)), jnp.asarray(copies),
+        jnp.asarray(wa), jnp.asarray(wb), jnp.asarray(wc), ch, rnd))(
+            jnp.asarray(ch), jnp.asarray(rnd))
+    assert bool(diags.all_ok())
+    vk = PS.make_vk_scaled(ctx, sel, copies)
+    assert PS.verify_scaled(ctx, vk, proof, ch)
+    # wrong witness rejected
+    _, _, wa2, wb2, wc2 = frontend_circuit(R, expr,
+                                           {"a": 3, "b": 4, "c": 6}, n)
+    _, diags2 = PS.prove_scaled(ctx, jnp.asarray(sel.astype(np.uint32)),
+                                jnp.asarray(copies), jnp.asarray(wa2),
+                                jnp.asarray(wb2), jnp.asarray(wc2), ch, rnd)
+    assert not bool(diags2.satisfied)
