@@ -258,22 +258,22 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
 
     z_x = blind3(rnd[6], rnd[7], rnd[8], acc_x)
 
-    # round 3: quotient on the coset of the 8n domain
-    ev = lambda c: _coset_eval(Fr, c, shift_pows, w8, m)
-    a_e, b_e, c_e = ev(a_x), ev(b_x), ev(c_x)
-    z_e = ev(z_x)
+    # round 3: quotient on the coset of the 8n domain.
+    # ALL 15 forward coset evaluations ride ONE stacked NTT (batched along
+    # the leading axis) — separate transforms underutilize the chip and
+    # multiply the graph.
     z_omega_x = Fr.mul(z_x, omega_pows_z)
-    zw_e = ev(z_omega_x)
-    ql_e, qr_e, qo_e, qm_e, qc_e = (ev(q) for q in
-                                    (q_l_x, q_r_x, q_o_x, q_m_x, q_c_x))
-    s1_e, s2_e, s3_e = ev(s_sigma_1), ev(s_sigma_2), ev(s_sigma_3)
-    # L1 and z_H on the coset
     e0 = jnp.zeros((n,), U32).at[0].set(Fr.ones())
     l_1_x = N.intt(Fr, e0, omega)
-    l1_e = ev(l_1_x)
     zh_coeffs = jnp.zeros((n + 1,), U32).at[0].set(
         Fr.neg(Fr.ones())).at[n].set(Fr.ones())
-    zh_e = ev(zh_coeffs)
+    stack15 = jnp.stack([P.pad_to(c, m) for c in
+                         (a_x, b_x, c_x, z_x, z_omega_x, q_l_x, q_r_x,
+                          q_o_x, q_m_x, q_c_x, s_sigma_1, s_sigma_2,
+                          s_sigma_3, l_1_x, zh_coeffs)])
+    evs = N.ntt(Fr, Fr.mul(stack15, shift_pows), w8)
+    (a_e, b_e, c_e, z_e, zw_e, ql_e, qr_e, qo_e, qm_e, qc_e,
+     s1_e, s2_e, s3_e, l1_e, zh_e) = (evs[i] for i in range(15))
 
     # the coset points themselves: g * w8^i (host table)
     pts = Fr.mul(Fr.const(shift), Fr.array(_pow_table(r, w8, m)))
