@@ -140,11 +140,16 @@ def ntt(F, x: jnp.ndarray, w: int, layout: str = "auto") -> jnp.ndarray:
     pos = jnp.arange(C)
 
     n_intra = (C.bit_length() - 1)
-    if (_USE_PALLAS and hasattr(F, "n_prime") and not batch and R >= 8
+    import math
+    nbatch = math.prod(batch) if batch else 1
+    if (_USE_PALLAS and hasattr(F, "n_prime") and nbatch * R >= 8
             and C >= 256):
         from .pallas_ntt import row_stages
         tw_stack = jnp.stack(tables[:n_intra])
-        y = row_stages(F.p, F.n_prime, y, tw_stack)
+        # intra-row stages are row-independent: fold any batch dims into
+        # the row axis so the fused kernel covers stacked transforms too
+        y = row_stages(F.p, F.n_prime, y.reshape(nbatch * R, C),
+                       tw_stack).reshape(batch + (R, C))
         tables_rest = tables[n_intra:]
         half = C
         for tv in tables_rest:

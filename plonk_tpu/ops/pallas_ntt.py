@@ -105,7 +105,8 @@ def row_stages(p: int, n_prime: int, y: jnp.ndarray,
     tw_stack: (log2(C), C) per-stage lane twiddles (Montgomery form)."""
     R, C = y.shape
     block_rows = min(block_rows, R)
-    assert R % block_rows == 0
+    while R % block_rows:
+        block_rows -= 1  # largest divisor of R at most the requested size
     kern = functools.partial(_row_stages_kernel, p, n_prime, C, block_rows)
     return pl.pallas_call(
         kern,
