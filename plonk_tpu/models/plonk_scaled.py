@@ -149,6 +149,11 @@ def _commit_many(ctx: ScaledContext, coeff_list) -> G1:
     # pathologically slowly). Override with PLONK_TPU_JAC_MSM=0/1.
     import os
     from ..ops.msm import msm_pippenger_many, msm_pippenger_jac_many
+    if os.environ.get("PLONK_TPU_PROFILE_SKIP_COMMITS") == "1":
+        # profiling-only: measure the field-side pipeline without MSMs
+        B = len(coeff_list)
+        return G1(jnp.zeros((B,), U32), jnp.zeros((B,), U32),
+                  jnp.ones((B,), jnp.bool_))
     flag = os.environ.get("PLONK_TPU_JAC_MSM")
     if flag is None:
         use_jac = jax.default_backend() != "cpu"
@@ -162,7 +167,9 @@ def _commit_many(ctx: ScaledContext, coeff_list) -> G1:
     scalars = Fr.decode(padded)
     bits = ctx.params.field.p.bit_length()
     fn = msm_pippenger_jac_many if use_jac else msm_pippenger_many
-    return fn(Fq, pts, scalars, window_bits=7, scalar_bits=bits)
+    # window width swept on TPU at 2^16 points: w=9 (3 windows of the
+    # 27-bit scalars) beats 7/11/14; argsort is ~45% of the MSM time
+    return fn(Fq, pts, scalars, window_bits=9, scalar_bits=bits)
 
 
 def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
