@@ -113,14 +113,14 @@ def row_stages(p: int, n_prime: int, y: jnp.ndarray,
         grid=(R // block_rows,),
         in_specs=[
             pl.BlockSpec((tw_stack.shape[0], C), lambda i: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((block_rows, C), lambda i: (i, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, C), lambda i: (i, 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, C), U32),
         interpret=interpret,
