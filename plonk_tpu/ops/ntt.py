@@ -28,9 +28,17 @@ import jax.numpy as jnp
 
 U32 = jnp.uint32
 
-# opt-in fused Pallas kernel for the intra-row stages (Montgomery fields
-# only); enabled via env for the bench path, off for CPU-parity tests
-_USE_PALLAS = os.environ.get("PLONK_TPU_PALLAS", "0") == "1"
+# fused Pallas kernel for the intra-row stages (Montgomery fields only).
+# Defaults ON for real accelerators; the CPU backend always uses the XLA
+# path (guarded at the call site). Override with PLONK_TPU_PALLAS=0/1.
+_PALLAS_ENV = os.environ.get("PLONK_TPU_PALLAS")
+
+
+def _use_pallas() -> bool:
+    if _PALLAS_ENV is not None:
+        return _PALLAS_ENV == "1"
+    import jax
+    return jax.default_backend() != "cpu"
 
 
 @functools.lru_cache(maxsize=None)
@@ -142,7 +150,7 @@ def ntt(F, x: jnp.ndarray, w: int, layout: str = "auto") -> jnp.ndarray:
     n_intra = (C.bit_length() - 1)
     import math
     nbatch = math.prod(batch) if batch else 1
-    if (_USE_PALLAS and hasattr(F, "n_prime") and nbatch * R >= 8
+    if (_use_pallas() and hasattr(F, "n_prime") and nbatch * R >= 8
             and C >= 256):
         from .pallas_ntt import row_stages
         tw_stack = jnp.stack(tables[:n_intra])
