@@ -64,6 +64,7 @@ def bench_prover_batch(batch: int = 32768):
 
 def bench_ntt(log_n: int = 20):
     import jax
+    import jax.numpy as jnp
     from plonk_tpu.utils.params import BABYBEAR
     from plonk_tpu.ops.field import MontField
     from plonk_tpu.ops.ntt import ntt
@@ -73,7 +74,34 @@ def bench_ntt(log_n: int = 20):
     w = BABYBEAR.root_of_unity(n)
     rng = np.random.default_rng(0)
     x = M.encode(np.asarray(rng.integers(0, M.p, size=n, dtype=np.uint32)))
-    fn = jax.jit(lambda v: ntt(M, v, w))
+    from plonk_tpu.ops.fused_ntt import fused_ntt_natural
+    fn = jax.jit(lambda v: fused_ntt_natural(M, v, w))
+    secs, out = _timeit(fn, x)
+    # on-device parity: the fused four-step Pallas path must match the
+    # plain-XLA reshape-butterfly path bit for bit (VERDICT round-1 weak 3)
+    ref = jax.jit(lambda v: ntt(M, v, w, layout="simple"))(x)
+    assert bool(jnp.array_equal(out, ref)), "NTT pallas/XLA parity on device"
+    # blocked+Pallas row-stage path (the previous default), for reference
+    out2 = jax.jit(lambda v: ntt(M, v, w))(x)
+    assert bool(jnp.array_equal(out2, ref)), "blocked NTT parity on device"
+    return n / secs
+
+
+def bench_ntt_bn254(log_n: int = 16):
+    """254-bit (8x u32 limb) NTT over BN254-Fr — the multi-limb field
+    lane (ops/bigfield.py)."""
+    import jax
+    from plonk_tpu.utils.params import BN254_FR
+    from plonk_tpu.ops.bigfield import BigMontField, big_ntt
+
+    F = BigMontField(BN254_FR)
+    n = 1 << log_n
+    w = BN254_FR.root_of_unity(n)
+    rng = np.random.default_rng(0)
+    xs = [int.from_bytes(rng.bytes(40), "little") % F.p
+          for _ in range(1024)]
+    x = jax.numpy.tile(F.array(xs), (n // 1024, 1))
+    fn = jax.jit(lambda v: big_ntt(F, v, w))
     secs, _ = _timeit(fn, x)
     return n / secs
 
@@ -114,13 +142,52 @@ def bench_scaled_prover(log_n: int = 16):
     ch = jnp.asarray(np.array([1111, 2222, 3333, 4444, 5555],
                               dtype=np.uint32))
     rnd = jnp.asarray(np.arange(1, 10, dtype=np.uint32))
-    sel_j, cp_j = jnp.asarray(sel), jnp.asarray(copies)
-    a_j, b_j, c_j = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
-    fn = jax.jit(lambda ch, rnd: PS.prove_scaled(ctx, sel_j, cp_j, a_j, b_j,
-                                                 c_j, ch, rnd))
+    prover = PS.make_prover(ctx, sel, copies)
+    fn = lambda ch, rnd: prover(a, b, c, ch, rnd)
     secs, (proof, diags) = _timeit(fn, ch, rnd, reps=3)
     assert bool(diags.all_ok()), "scaled bench proof invalid"
     return 1.0 / secs
+
+
+def bench_scaled_batched(log_n: int = 12, batch: int = 16):
+    """Throughput mode: vmapped scaled proofs over independent witnesses
+    at 2^log_n gates (VERDICT round-1 item 7). Returns proofs/s."""
+    import jax
+    import jax.numpy as jnp
+    from plonk_tpu.models import plonk_scaled as PS
+    from plonk_tpu.models.synthetic import square_chain_circuit
+    from plonk_tpu.utils.params import SCALED_FR
+
+    n = 1 << log_n
+    ctx = PS.scaled_new(n)
+    sel, copies, *_ = square_chain_circuit(SCALED_FR.p, n)
+    wits = [square_chain_circuit(SCALED_FR.p, n, x0=3 + i)[2:]
+            for i in range(batch)]
+    a = jnp.stack([jnp.asarray(w[0]) for w in wits])
+    b = jnp.stack([jnp.asarray(w[1]) for w in wits])
+    c = jnp.stack([jnp.asarray(w[2]) for w in wits])
+    chs = jnp.tile(jnp.asarray(
+        np.array([1111, 2222, 3333, 4444, 5555], dtype=np.uint32)),
+        (batch, 1))
+    rnds = jnp.tile(jnp.asarray(np.arange(1, 10, dtype=np.uint32)),
+                    (batch, 1))
+    from plonk_tpu.ops.fixed_base import FixedBaseTable
+    sel_j, cp_j = jnp.asarray(sel), jnp.asarray(copies)
+    tbl = PS.fixed_base_table(ctx)
+
+    def run(tx, ty, tinf, aw, bw, cw, ch, rnd):
+        prims = PS._auto_prims(ctx)._replace(commit_many=PS.table_commit(
+            ctx, FixedBaseTable(tx, ty, tinf, tbl.window_bits)))
+        single = lambda aw1, bw1, cw1, ch1, rnd1: PS.prove_scaled(
+            ctx, sel_j, cp_j, aw1, bw1, cw1, ch1, rnd1, prims=prims)
+        return jax.vmap(single)(aw, bw, cw, ch, rnd)
+
+    jf = jax.jit(run)
+    fn = lambda aw, bw, cw, ch, rnd: jf(tbl.x, tbl.y, tbl.inf, aw, bw, cw,
+                                        ch, rnd)
+    secs, (proofs, diags) = _timeit(fn, a, b, c, chs, rnds, reps=3)
+    assert bool(jnp.all(diags.satisfied)), "batched scaled bench invalid"
+    return batch / secs
 
 
 def main():
@@ -145,6 +212,15 @@ def main():
             bench_scaled_prover(log_n), 3)
     except Exception as e:
         extras["scaled_error"] = str(e)[:200]
+    try:
+        extras["ntt_bn254_2e16_elems_per_s"] = round(bench_ntt_bn254(), 1)
+    except Exception as e:
+        extras["ntt_bn254_error"] = str(e)[:200]
+    try:
+        extras["plonk_scaled_batched_2e12_proofs_per_s"] = round(
+            bench_scaled_batched(), 3)
+    except Exception as e:
+        extras["scaled_batched_error"] = str(e)[:200]
 
     result = {
         "metric": "plonk_proofs_per_s_canonical",

@@ -156,17 +156,16 @@ def sigma_to_roots(ctx: PlonkContext, copy: jnp.ndarray) -> jnp.ndarray:
     return table[tag, idx]
 
 
-_TABLE_CACHE: dict = {}
-
-
 def _commit(ctx: PlonkContext, coeffs: jnp.ndarray) -> G1:
     Fq = ctx.Fq
     if ctx.commit_mode == "table":
         from .srs import srs_multiple_table, srs_commit_table
-        tbl = _TABLE_CACHE.get(id(ctx))
+        # cached ON the context (id()-keyed dicts alias after GC and would
+        # serve a table built from a different SRS; ADVICE round 1)
+        tbl = getattr(ctx, "_multiple_table", None)
         if tbl is None:
             tbl = srs_multiple_table(Fq, ctx.srs.g1s, ctx.params.field.p)
-            _TABLE_CACHE[id(ctx)] = tbl
+            object.__setattr__(ctx, "_multiple_table", tbl)
         return srs_commit_table(Fq, tbl, coeffs)
     if ctx.use_pippenger:
         L = min(coeffs.shape[-1], ctx.srs.length)

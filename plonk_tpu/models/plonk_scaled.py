@@ -65,6 +65,29 @@ class ScaledContext:
     n: int                       # gates == domain size (power of two)
     coset_shift: int = 7         # generator of F_r^* -> never in any H
 
+    def __post_init__(self):
+        """The same domain/coset soundness checks the reference runs at
+        plonk_new (src/plonk.h:74-99) and PlonkContext.__post_init__
+        enforces — custom params must not silently violate the
+        permutation-argument preconditions (ADVICE round 1)."""
+        pp = self.params
+        r = pp.field.p
+        n = self.n
+        if n & (n - 1) or n < 2:
+            raise ValueError("n must be a power of two >= 2")
+        w = pp.omega % r
+        if pow(w, n, r) != 1 or pow(w, n // 2, r) == 1:
+            raise ValueError("omega does not generate a domain of size n")
+        # k1/k2 (and the quotient coset shift) must avoid H and each
+        # other's coset: x in H iff x^n == 1 (H is the full n-torsion)
+        in_h = lambda x: pow(x % r, n, r) == 1
+        if in_h(pp.k1) or in_h(pp.k2):
+            raise ValueError("K1 or K2 is in H, which is not allowed")
+        if in_h(pp.k2 * pow(pp.k1, -1, r)):
+            raise ValueError("K2 is in K1*H, which is not allowed")
+        if pow(self.coset_shift % r, 8 * n, r) == 1:
+            raise ValueError("coset_shift is in the 8n evaluation domain")
+
     @property
     def Fr(self) -> MontField:
         return make_field(self.params.field)
@@ -122,6 +145,16 @@ def _coset_interp(F, evals: jnp.ndarray, inv_shift_pows: jnp.ndarray,
     return F.mul(coeffs, inv_shift_pows[:coeffs.shape[-1]])
 
 
+def _tree_sum(F, t: jnp.ndarray) -> jnp.ndarray:
+    """Log-depth modular sum along the last axis."""
+    while t.shape[-1] > 1:
+        if t.shape[-1] % 2:
+            t = jnp.concatenate(
+                [t, jnp.zeros(t.shape[:-1] + (1,), U32)], axis=-1)
+        t = F.add(t[..., 0::2], t[..., 1::2])
+    return t[..., 0]
+
+
 def _peval_fast(F, coeffs: jnp.ndarray, x) -> jnp.ndarray:
     """Evaluate at a scalar point in O(log n) depth: power series by
     associative scan, modular tree reduction."""
@@ -138,77 +171,225 @@ def _peval_fast(F, coeffs: jnp.ndarray, x) -> jnp.ndarray:
     return t[..., 0]
 
 
+def fixed_base_table(ctx: ScaledContext):
+    """The SRS window-multiple table for fixed-base commitments, built once
+    per context and cached ON the context object (an id()-keyed module dict
+    would alias after GC — see ADVICE round 1). The build runs on the
+    concrete SRS arrays under ensure_compile_time_eval, so even when first
+    touched inside a jit trace it executes eagerly and the table becomes a
+    compile-time constant instead of per-call graph ops."""
+    tbl = getattr(ctx, "_fb_table", None)
+    if tbl is None:
+        from ..ops.fixed_base import build_fixed_base_table, pick_window_bits
+        with jax.ensure_compile_time_eval():
+            Fq = ctx.Fq
+            L = ctx.srs.length
+            g1s = ctx.srs.g1s
+            pts = G1(g1s.x[:L], g1s.y[:L], g1s.inf[:L])
+            bits = ctx.params.field.p.bit_length()
+            wb = pick_window_bits(L, bits)
+            # jit the whole build: eagerly it is thousands of small
+            # dispatches (ruinous through the TPU tunnel's ~2.5ms launch
+            # latency — measured 253s vs ~2s jitted at 2^14)
+            tbl = jax.jit(lambda p: build_fixed_base_table(
+                Fq, p, wb, bits))(pts)
+            # jit arrays every output leaf; window_bits is static metadata
+            tbl = tbl._replace(window_bits=wb)
+        tbl = jax.tree_util.tree_map(
+            lambda a: a if isinstance(a, int) else jax.block_until_ready(a),
+            tbl)
+        object.__setattr__(ctx, "_fb_table", tbl)
+    return tbl
+
+
+def table_commit(ctx: ScaledContext, table):
+    """commit_many bound to an EXPLICIT table pytree (possibly a tracer).
+    Needed because a jitted prover that merely closes over the concrete
+    table bakes it into the compiled module as a constant — at 2^16 gates
+    that is a ~900MB program payload, which the TPU remote-compile tunnel
+    rejects outright (HTTP 413). make_prover passes the table as a runtime
+    argument instead."""
+    from ..ops.fixed_base import msm_fixed_base_many
+
+    def commit(c2, coeff_list):
+        Fr = c2.Fr
+        L = c2.srs.length
+        padded = jnp.stack([P.pad_to(c, L)[..., :L] for c in coeff_list])
+        return msm_fixed_base_many(c2.Fq, table, Fr.decode(padded))
+
+    return commit
+
+
+def make_prover(ctx: ScaledContext, selectors, copies,
+                prims: "ProverPrims | None" = None):
+    """Compile-once prover for a fixed circuit: returns
+    fn(a_w, b_w, c_w, challenge, rand9) -> (Proof, Diagnostics) with the
+    fixed-base table passed as a runtime argument (see table_commit)."""
+    from ..ops.fixed_base import FixedBaseTable
+    sel = jnp.asarray(selectors, U32)
+    cps = jnp.asarray(copies)
+    base = prims if prims is not None else _auto_prims(ctx)
+    tbl = fixed_base_table(ctx)
+
+    def run(tx, ty, tinf, a_w, b_w, c_w, ch, rnd, pi):
+        pr = base._replace(commit_many=table_commit(
+            ctx, FixedBaseTable(tx, ty, tinf, tbl.window_bits)))
+        return prove_scaled(ctx, sel, cps, a_w, b_w, c_w, ch, rnd,
+                            prims=pr, public_inputs=pi)
+
+    jf = jax.jit(run)
+
+    def fn(a_w, b_w, c_w, ch, rnd, public_inputs=None):
+        pi = (jnp.zeros((ctx.n,), U32) if public_inputs is None
+              else jnp.asarray(public_inputs, U32))
+        return jf(tbl.x, tbl.y, tbl.inf, jnp.asarray(a_w, U32),
+                  jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
+                  jnp.asarray(ch, U32), jnp.asarray(rnd, U32), pi)
+
+    return fn
+
+
 def _commit_many(ctx: ScaledContext, coeff_list) -> G1:
     """Commit a list of Montgomery-form coefficient vectors with ONE
-    vmapped Pippenger graph (separate calls would replicate the
-    segmented-scan graph per commitment — a compile-size problem)."""
-    # Backend-dependent bucket arithmetic (identical group outputs,
-    # asserted in tests/test_srs_msm.py): Jacobian on TPU (measured 1.6x
-    # faster at 2^16 points, 25ms vs 40ms), affine+rolled-inversion on the
-    # CPU backend (the CPU XLA pipeline compiles the Jacobian scan body
-    # pathologically slowly). Override with PLONK_TPU_JAC_MSM=0/1.
+    batched MSM graph (separate calls would replicate the bucket/tree
+    graph per commitment — a compile-size problem).
+
+    Default path: fixed-base gather MSM (ops/fixed_base.py) — the SRS is
+    fixed across proofs, so the window tables amortize; no argsort, no
+    segmented scan. PLONK_TPU_FIXED_BASE=0 falls back to Pippenger
+    (Jacobian buckets on TPU, affine on CPU; PLONK_TPU_JAC_MSM=0/1)."""
     import os
-    from ..ops.msm import msm_pippenger_many, msm_pippenger_jac_many
     if os.environ.get("PLONK_TPU_PROFILE_SKIP_COMMITS") == "1":
         # profiling-only: measure the field-side pipeline without MSMs
         B = len(coeff_list)
         return G1(jnp.zeros((B,), U32), jnp.zeros((B,), U32),
                   jnp.ones((B,), jnp.bool_))
-    flag = os.environ.get("PLONK_TPU_JAC_MSM")
-    if flag is None:
-        use_jac = jax.default_backend() != "cpu"
-    else:
-        use_jac = flag == "1"
     Fr, Fq = ctx.Fr, ctx.Fq
     L = ctx.srs.length
-    g1s = ctx.srs.g1s
-    pts = G1(g1s.x[:L], g1s.y[:L], g1s.inf[:L])
     padded = jnp.stack([P.pad_to(c, L)[..., :L] for c in coeff_list])
     scalars = Fr.decode(padded)
     bits = ctx.params.field.p.bit_length()
+    if os.environ.get("PLONK_TPU_FIXED_BASE", "1") == "1":
+        from ..ops.fixed_base import msm_fixed_base_many
+        return msm_fixed_base_many(Fq, fixed_base_table(ctx), scalars)
+    from ..ops.msm import msm_pippenger_many, msm_pippenger_jac_many
+    flag = os.environ.get("PLONK_TPU_JAC_MSM")
+    use_jac = (jax.default_backend() != "cpu") if flag is None else flag == "1"
+    g1s = ctx.srs.g1s
+    pts = G1(g1s.x[:L], g1s.y[:L], g1s.inf[:L])
     fn = msm_pippenger_jac_many if use_jac else msm_pippenger_many
     # window width swept on TPU at 2^16 points: w=9 (3 windows of the
     # 27-bit scalars) beats 7/11/14; argsort is ~45% of the MSM time
     return fn(Fq, pts, scalars, window_bits=9, scalar_bits=bits)
 
 
-def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
-                 copies: jnp.ndarray, a_w: jnp.ndarray, b_w: jnp.ndarray,
-                 c_w: jnp.ndarray, challenge, rand9
-                 ) -> tuple[Proof, ScaledDiagnostics]:
-    """Scaled 5-round prover. All inputs in STANDARD form:
-    selectors (5, n) uint32, copies (3, n, 2), witness columns (n,),
-    challenge (5,) [alpha beta gamma z v], rand9 (9,). Jittable."""
+# ---------- the 5-round pipeline, staged ----------
+#
+# Each stage is a pure jittable function of (ctx, state, challenges-so-far).
+# prove_scaled composes them with a single deferred batch commitment (the
+# reference's interactive shape, src/plonk.h:223-229: challenges are caller
+# inputs); prove_scaled_fs (fiat_shamir.py) runs the same stages with
+# commitments at the round boundaries so the transcript can absorb them.
+#
+# The heavy primitives are pluggable through ProverPrims: the default set
+# is single-chip; parallel/dist_prover.py builds a mesh-sharded set
+# (distributed four-step NTTs, sharded grand-product scan, sharded
+# fixed-base MSM) that produces the bit-identical Proof.
+
+
+class ProverPrims(NamedTuple):
+    """Strategy hooks for the prover's heavy kernels.
+
+    intt_n: (F, vals(..., n), w) -> natural-order coefficients
+    ntt8:   (F, coeffs(..., m), w8) -> evaluations (layout defined by perm8)
+    intt8:  (F, evals(..., m), w8) -> natural-order coefficients
+    grand_product: (F, fractions(n-1,)) -> accumulator(n,) = [1, prefix...]
+    commit_many:   (ctx, [coeff vectors]) -> G1 batch
+    perm8:  host np table (m,) natural order -> evaluation-order table
+    """
+    intt_n: object
+    ntt8: object
+    intt8: object
+    grand_product: object
+    commit_many: object
+    perm8: object
+
+
+def _local_grand_product(F, fractions):
+    return jnp.concatenate([F.ones((1,)).astype(U32),
+                            jax.lax.associative_scan(F.mul, fractions)])
+
+
+def default_prims() -> ProverPrims:
+    return ProverPrims(
+        intt_n=lambda F, x, w: N.intt(F, x, w),
+        ntt8=lambda F, x, w: N.ntt(F, x, w),
+        intt8=lambda F, x, w: N.intt(F, x, w),
+        grand_product=_local_grand_product,
+        commit_many=_commit_many,
+        perm8=lambda tbl: tbl)
+
+
+def fused_prims() -> ProverPrims:
+    """Single-chip prims with the 8n coset stack on the fused four-step
+    Pallas NTT in SCRAMBLED layout (ops/fused_ntt.py) — the pointwise
+    quotient algebra is layout-agnostic, so no unscramble is ever paid;
+    the coset-point table rides perm8."""
+    from ..ops import fused_ntt as FN
+    return ProverPrims(
+        intt_n=lambda F, x, w: N.intt(F, x, w),
+        ntt8=lambda F, x, w: FN.fused_ntt(F, x, w),
+        intt8=lambda F, x, w: FN.fused_intt(F, x, w),
+        grand_product=_local_grand_product,
+        commit_many=_commit_many,
+        perm8=lambda tbl: tbl[np.asarray(FN.scrambled_perm(len(tbl)))])
+
+
+def _auto_prims(ctx: ScaledContext) -> ProverPrims:
+    import os
+    flag = os.environ.get("PLONK_TPU_FUSED")
+    if flag == "1":
+        return fused_prims()
+    if flag == "0":
+        return default_prims()
+    if jax.default_backend() != "cpu" and ctx.domain8 >= (1 << 16):
+        return fused_prims()
+    return default_prims()
+
+
+def _stage_prep(ctx: ScaledContext, selectors, copies, a_w, b_w, c_w,
+                rand9, prims: ProverPrims, public_inputs=None) -> dict:
+    """Challenge-independent work: encode, witness check, sigma gathers,
+    the 12 interpolations (11 circuit polys + PI), round-1 wire blinding.
+
+    public_inputs: optional (n,) standard-form PI values — the reference
+    hardcodes PI(x) = 0 (src/plonk.h:396-398); the sound extension takes
+    them as a first-class vector with gate rows satisfying
+    q_l*a + q_r*b + q_o*c + q_m*ab + q_c + PI = 0."""
     Fr = ctx.Fr
     pp = ctx.params
     r = pp.field.p
     n = ctx.n
-    m = ctx.domain8
     omega = ctx.omega()
-    w8 = ctx.omega8()
-    shift = ctx.coset_shift
 
-    # host tables (become jit constants)
     h_std = _pow_table(r, omega, n)
     k1h_std = (h_std.astype(np.uint64) * pp.k1 % r).astype(np.uint32)
     k2h_std = (h_std.astype(np.uint64) * pp.k2 % r).astype(np.uint32)
-    shift_pows = Fr.array(_pow_table(r, shift, m))
-    inv_shift_pows = Fr.array(_pow_table(r, pow(shift, -1, r), m))
-    omega_pows_z = Fr.array(_pow_table(r, omega, n + 3))
-    h_mont = Fr.array(h_std)
 
-    ch = Fr.encode(jnp.asarray(challenge, U32))
-    alpha, beta, gamma, z, v = (ch[i] for i in range(5))
     rnd = Fr.encode(jnp.asarray(rand9, U32))
     sel = Fr.encode(jnp.asarray(selectors, U32))
     q_l_v, q_r_v, q_o_v, q_m_v, q_c_v = (sel[i] for i in range(5))
     a_v = Fr.encode(jnp.asarray(a_w, U32))
     b_v = Fr.encode(jnp.asarray(b_w, U32))
     c_v = Fr.encode(jnp.asarray(c_w, U32))
+    if public_inputs is None:
+        pi_v = jnp.zeros((n,), U32)
+    else:
+        pi_v = Fr.encode(jnp.asarray(public_inputs, U32))
 
-    # step 1: witness check (vectorized gate equation)
+    # step 1: witness check (vectorized gate equation incl. PI)
     lhs = Fr.add(
-        Fr.add(Fr.mul(q_l_v, a_v), Fr.mul(q_r_v, b_v)),
+        Fr.add(Fr.add(Fr.mul(q_l_v, a_v), Fr.mul(q_r_v, b_v)), pi_v),
         Fr.add(Fr.mul(q_o_v, c_v),
                Fr.add(Fr.mul(q_m_v, Fr.mul(a_v, b_v)), q_c_v)))
     satisfied = jnp.all(lhs == 0)
@@ -219,12 +400,12 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
     sig = [table[copies[i, :, 0], copies[i, :, 1] - 1] for i in range(3)]
     sigma_1, sigma_2, sigma_3 = sig
 
-    # step 3: the 11 interpolations as one batched INTT
+    # step 3: the 12 interpolations as one batched INTT
     stacked = jnp.stack([a_v, b_v, c_v, q_o_v, q_m_v, q_l_v, q_r_v, q_c_v,
-                         sigma_1, sigma_2, sigma_3])
-    polys = N.intt(Fr, stacked, omega)
+                         sigma_1, sigma_2, sigma_3, pi_v])
+    polys = prims.intt_n(Fr, stacked, omega)
     (f_a_x, f_b_x, f_c_x, q_o_x, q_m_x, q_l_x, q_r_x, q_c_x,
-     s_sigma_1, s_sigma_2, s_sigma_3) = (polys[i] for i in range(11))
+     s_sigma_1, s_sigma_2, s_sigma_3, pi_x) = (polys[i] for i in range(12))
 
     # round 1: blinding via the closed form (b_hi x + b_lo)(x^n - 1)
     def blind2(b_hi, b_lo, f):
@@ -233,28 +414,44 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
         out = out.at[n].set(b_lo).at[n + 1].set(b_hi)
         return P.padd(Fr, out, f)
 
-    a_x = blind2(rnd[0], rnd[1], f_a_x)
-    b_x = blind2(rnd[2], rnd[3], f_b_x)
-    c_x = blind2(rnd[4], rnd[5], f_c_x)
-    # (commitments are deferred and batched into one MSM at the end —
-    # with caller-supplied challenges nothing downstream consumes them)
+    return dict(
+        rnd=rnd, a_v=a_v, b_v=b_v, c_v=c_v, satisfied=satisfied,
+        sigma_1=sigma_1, sigma_2=sigma_2, sigma_3=sigma_3,
+        q_o_x=q_o_x, q_m_x=q_m_x, q_l_x=q_l_x, q_r_x=q_r_x, q_c_x=q_c_x,
+        s_sigma_1=s_sigma_1, s_sigma_2=s_sigma_2, s_sigma_3=s_sigma_3,
+        a_x=blind2(rnd[0], rnd[1], f_a_x),
+        b_x=blind2(rnd[2], rnd[3], f_b_x),
+        c_x=blind2(rnd[4], rnd[5], f_c_x),
+        pi_x=pi_x,
+        h_mont=Fr.array(h_std))
 
-    # round 2: grand product (vectorized fractions + prefix scan)
-    w_i = h_mont[:n - 1]
+
+def _stage_grand_product(ctx: ScaledContext, st: dict, beta, gamma,
+                         prims: ProverPrims):
+    """Round 2: permutation fractions + prefix scan + blinding. Returns
+    (z_x, denominator_ok) — a vanishing f'/g' factor is the same failure
+    the reference's remainder assert catches (src/plonk.h:506-510)."""
+    Fr = ctx.Fr
+    pp = ctx.params
+    n = ctx.n
+    w_i = st["h_mont"][:n - 1]
     k1c, k2c = Fr.const(pp.k1), Fr.const(pp.k2)
-    aa, bb, cc = a_v[:n - 1], b_v[:n - 1], c_v[:n - 1]
+    aa, bb, cc = st["a_v"][:n - 1], st["b_v"][:n - 1], st["c_v"][:n - 1]
     denom = Fr.mul(
         Fr.mul(Fr.add(aa, Fr.add(Fr.mul(beta, w_i), gamma)),
                Fr.add(bb, Fr.add(Fr.mul(beta, Fr.mul(k1c, w_i)), gamma))),
         Fr.add(cc, Fr.add(Fr.mul(beta, Fr.mul(k2c, w_i)), gamma)))
     numer = Fr.mul(
-        Fr.mul(Fr.add(aa, Fr.add(Fr.mul(beta, sigma_1[:n - 1]), gamma)),
-               Fr.add(bb, Fr.add(Fr.mul(beta, sigma_2[:n - 1]), gamma))),
-        Fr.add(cc, Fr.add(Fr.mul(beta, sigma_3[:n - 1]), gamma)))
+        Fr.mul(Fr.add(aa, Fr.add(Fr.mul(beta, st["sigma_1"][:n - 1]), gamma)),
+               Fr.add(bb, Fr.add(Fr.mul(beta, st["sigma_2"][:n - 1]), gamma))),
+        Fr.add(cc, Fr.add(Fr.mul(beta, st["sigma_3"][:n - 1]), gamma)))
+    denominator_ok = jnp.logical_and(jnp.all(numer != 0),
+                                     jnp.all(denom != 0))
     fractions = Fr.mul(denom, Fr.inv(numer))
-    acc = jnp.concatenate([Fr.ones((1,)).astype(U32),
-                           jax.lax.associative_scan(Fr.mul, fractions)])
-    acc_x = N.intt(Fr, acc, omega)
+    acc = prims.grand_product(Fr, fractions)
+    acc_x = prims.intt_n(Fr, acc, ctx.omega())
+
+    rnd = st["rnd"]
 
     def blind3(b2c, b1c, b0c, f):
         out = jnp.zeros((n + 3,), U32)
@@ -263,29 +460,49 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
         out = out.at[n].set(b0c).at[n + 1].set(b1c).at[n + 2].set(b2c)
         return P.padd(Fr, out, f)
 
-    z_x = blind3(rnd[6], rnd[7], rnd[8], acc_x)
+    return blind3(rnd[6], rnd[7], rnd[8], acc_x), denominator_ok
 
-    # round 3: quotient on the coset of the 8n domain.
+
+def _stage_quotient(ctx: ScaledContext, st: dict, z_x, alpha, beta, gamma,
+                    prims: ProverPrims):
+    """Round 3: quotient t on a coset of the 8n domain, split in three."""
+    Fr = ctx.Fr
+    pp = ctx.params
+    r = pp.field.p
+    n = ctx.n
+    m = ctx.domain8
+    omega = ctx.omega()
+    w8 = ctx.omega8()
+    shift = ctx.coset_shift
+    shift_pows = Fr.array(_pow_table(r, shift, m))
+    inv_shift_pows = Fr.array(_pow_table(r, pow(shift, -1, r), m))
+    omega_pows_z = Fr.array(_pow_table(r, omega, n + 3))
+    k1c, k2c = Fr.const(pp.k1), Fr.const(pp.k2)
+
     # ALL 15 forward coset evaluations ride ONE stacked NTT (batched along
     # the leading axis) — separate transforms underutilize the chip and
     # multiply the graph.
     z_omega_x = Fr.mul(z_x, omega_pows_z)
     e0 = jnp.zeros((n,), U32).at[0].set(Fr.ones())
-    l_1_x = N.intt(Fr, e0, omega)
+    l_1_x = prims.intt_n(Fr, e0, omega)
     zh_coeffs = jnp.zeros((n + 1,), U32).at[0].set(
         Fr.neg(Fr.ones())).at[n].set(Fr.ones())
-    stack15 = jnp.stack([P.pad_to(c, m) for c in
-                         (a_x, b_x, c_x, z_x, z_omega_x, q_l_x, q_r_x,
-                          q_o_x, q_m_x, q_c_x, s_sigma_1, s_sigma_2,
-                          s_sigma_3, l_1_x, zh_coeffs)])
-    evs = N.ntt(Fr, Fr.mul(stack15, shift_pows), w8)
+    stack16 = jnp.stack([P.pad_to(c, m) for c in
+                         (st["a_x"], st["b_x"], st["c_x"], z_x, z_omega_x,
+                          st["q_l_x"], st["q_r_x"], st["q_o_x"], st["q_m_x"],
+                          st["q_c_x"], st["s_sigma_1"], st["s_sigma_2"],
+                          st["s_sigma_3"], l_1_x, zh_coeffs, st["pi_x"])])
+    evs = prims.ntt8(Fr, Fr.mul(stack16, shift_pows), w8)
     (a_e, b_e, c_e, z_e, zw_e, ql_e, qr_e, qo_e, qm_e, qc_e,
-     s1_e, s2_e, s3_e, l1_e, zh_e) = (evs[i] for i in range(15))
+     s1_e, s2_e, s3_e, l1_e, zh_e, pi_e) = (evs[i] for i in range(16))
 
-    # the coset points themselves: g * w8^i (host table)
-    pts = Fr.mul(Fr.const(shift), Fr.array(_pow_table(r, w8, m)))
+    # the coset points themselves: g * w8^i (host table, permuted to the
+    # ntt8 evaluation-order layout)
+    pts = Fr.mul(Fr.const(shift),
+                 Fr.array(prims.perm8(_pow_table(r, w8, m))))
     t1 = Fr.add(
-        Fr.add(Fr.mul(Fr.mul(a_e, b_e), qm_e), Fr.mul(a_e, ql_e)),
+        Fr.add(Fr.mul(Fr.mul(a_e, b_e), qm_e),
+               Fr.add(Fr.mul(a_e, ql_e), pi_e)),
         Fr.add(Fr.mul(b_e, qr_e), Fr.add(Fr.mul(c_e, qo_e), qc_e)))
     t2 = Fr.mul(Fr.mul(Fr.mul(
         Fr.add(a_e, Fr.add(Fr.mul(beta, pts), gamma)),
@@ -301,31 +518,45 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
     t4 = Fr.mul(Fr.mul(Fr.sub(z_e, Fr.ones()), alpha_sq), l1_e)
     t_num_e = Fr.add(Fr.sub(Fr.add(t1, t2), t3), t4)
     t_e = Fr.mul(t_num_e, Fr.inv(zh_e))
-    t_full = _coset_interp(Fr, t_e, inv_shift_pows, w8)
+    t_full = Fr.mul(prims.intt8(Fr, t_e, w8),
+                    inv_shift_pows[:m])
     t_len = 3 * n + 6
     t_x = t_full[..., :t_len]
     t_tail_zero = jnp.all(t_full[..., t_len:] == 0)
 
     part = n + 2
-    t_lo_x = t_x[..., :part]
-    t_mid_x = t_x[..., part:2 * part]
-    t_hi_x = t_x[..., 2 * part:]
+    return dict(z_omega_x=z_omega_x, l_1_x=l_1_x, t_x=t_x,
+                t_tail_zero=t_tail_zero,
+                t_lo_x=t_x[..., :part], t_mid_x=t_x[..., part:2 * part],
+                t_hi_x=t_x[..., 2 * part:])
 
-    # round 4: evaluations at z (log-depth)
+
+def _stage_openings(ctx: ScaledContext, st: dict, q3: dict, z_x,
+                    alpha, beta, gamma, z, v):
+    """Rounds 4+5: evaluations at z, linearization, opening quotients."""
+    Fr = ctx.Fr
+    pp = ctx.params
+    n = ctx.n
+    k1c, k2c = Fr.const(pp.k1), Fr.const(pp.k2)
+    alpha_sq = Fr.mul(alpha, alpha)
+    s_sigma_1, s_sigma_2, s_sigma_3 = (st["s_sigma_1"], st["s_sigma_2"],
+                                       st["s_sigma_3"])
+    a_x, b_x, c_x = st["a_x"], st["b_x"], st["c_x"]
+
     a_z = _peval_fast(Fr, a_x, z)
     b_z = _peval_fast(Fr, b_x, z)
     c_z = _peval_fast(Fr, c_x, z)
     s_sigma_1_z = _peval_fast(Fr, s_sigma_1, z)
     s_sigma_2_z = _peval_fast(Fr, s_sigma_2, z)
-    t_z = _peval_fast(Fr, t_x, z)
-    z_omega_z = _peval_fast(Fr, z_omega_x, z)
+    t_z = _peval_fast(Fr, q3["t_x"], z)
+    z_omega_z = _peval_fast(Fr, q3["z_omega_x"], z)
 
     # standard linearization (degree-1 in committed polys)
-    r_x = P.pscale(Fr, q_m_x, Fr.mul(a_z, b_z))
-    r_x = P.padd(Fr, r_x, P.pscale(Fr, q_l_x, a_z))
-    r_x = P.padd(Fr, r_x, P.pscale(Fr, q_r_x, b_z))
-    r_x = P.padd(Fr, r_x, P.pscale(Fr, q_o_x, c_z))
-    r_x = P.padd(Fr, r_x, q_c_x)
+    r_x = P.pscale(Fr, st["q_m_x"], Fr.mul(a_z, b_z))
+    r_x = P.padd(Fr, r_x, P.pscale(Fr, st["q_l_x"], a_z))
+    r_x = P.padd(Fr, r_x, P.pscale(Fr, st["q_r_x"], b_z))
+    r_x = P.padd(Fr, r_x, P.pscale(Fr, st["q_o_x"], c_z))
+    r_x = P.padd(Fr, r_x, st["q_c_x"])
     azg = Fr.add(Fr.add(a_z, Fr.mul(beta, z)), gamma)
     bzg = Fr.add(Fr.add(b_z, Fr.mul(Fr.mul(beta, k1c), z)), gamma)
     czg = Fr.add(Fr.add(c_z, Fr.mul(Fr.mul(beta, k2c), z)), gamma)
@@ -336,15 +567,15 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
     r_x = P.psub(Fr, r_x, P.pscale(
         Fr, s_sigma_3,
         Fr.mul(Fr.mul(Fr.mul(as1z, bs2z), alpha), Fr.mul(beta, z_omega_z))))
-    l_1_z = _peval_fast(Fr, l_1_x, z)
+    l_1_z = _peval_fast(Fr, q3["l_1_x"], z)
     r_x = P.padd(Fr, r_x, P.pscale(Fr, z_x, Fr.mul(l_1_z, alpha_sq)))
     r_z = _peval_fast(Fr, r_x, z)
 
     # round 5: opening quotients (closed-form synthetic division)
     z_pow_part = Fr.pow_static(z, n + 2)
     z_pow_2part = Fr.pow_static(z, 2 * n + 4)
-    w = P.padd(Fr, t_lo_x, P.pscale(Fr, t_mid_x, z_pow_part))
-    w = P.padd(Fr, w, P.pscale(Fr, t_hi_x, z_pow_2part))
+    w = P.padd(Fr, q3["t_lo_x"], P.pscale(Fr, q3["t_mid_x"], z_pow_part))
+    w = P.padd(Fr, w, P.pscale(Fr, q3["t_hi_x"], z_pow_2part))
     w = P.padd_const(Fr, w, Fr.neg(t_z))
 
     def open_term(poly, eval_at_z, v_pow):
@@ -360,27 +591,106 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
 
     w_z_x_quo, rem1 = P.divide_by_linear(Fr, w, z)
     z_shift = P.padd_const(Fr, z_x, Fr.neg(z_omega_z))
-    zw = Fr.mul(z, Fr.const(omega))
+    zw = Fr.mul(z, Fr.const(ctx.omega()))
     w_z_omega_x, rem2 = P.divide_by_linear(Fr, z_shift, zw)
+    return dict(a_z=a_z, b_z=b_z, c_z=c_z, s_sigma_1_z=s_sigma_1_z,
+                s_sigma_2_z=s_sigma_2_z, r_z=r_z, z_omega_z=z_omega_z,
+                w_z_x_quo=w_z_x_quo, w_z_omega_x=w_z_omega_x,
+                rem1=rem1, rem2=rem2)
 
-    cms = _commit_many(ctx, [a_x, b_x, c_x, z_x, t_lo_x, t_mid_x, t_hi_x,
-                             w_z_x_quo, w_z_omega_x])
+
+def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
+                 copies: jnp.ndarray, a_w: jnp.ndarray, b_w: jnp.ndarray,
+                 c_w: jnp.ndarray, challenge, rand9,
+                 prims: ProverPrims | None = None,
+                 public_inputs=None
+                 ) -> tuple[Proof, ScaledDiagnostics]:
+    """Scaled 5-round prover. All inputs in STANDARD form:
+    selectors (5, n) uint32, copies (3, n, 2), witness columns (n,),
+    challenge (5,) [alpha beta gamma z v], rand9 (9,). Jittable.
+    `prims` swaps in mesh-sharded kernels (parallel/dist_prover.py) with
+    bit-identical output.
+
+    Commitments are deferred and batched into one MSM at the end — with
+    caller-supplied challenges nothing downstream consumes them. The
+    Fiat-Shamir wrapper (models/fiat_shamir.py) runs the same stages with
+    per-round commitments instead."""
+    Fr = ctx.Fr
+    if prims is None:
+        prims = _auto_prims(ctx)
+    ch = Fr.encode(jnp.asarray(challenge, U32))
+    alpha, beta, gamma, z, v = (ch[i] for i in range(5))
+
+    st = _stage_prep(ctx, selectors, copies, a_w, b_w, c_w, rand9, prims,
+                     public_inputs)
+    z_x, _den_ok = _stage_grand_product(ctx, st, beta, gamma, prims)
+    q3 = _stage_quotient(ctx, st, z_x, alpha, beta, gamma, prims)
+    q5 = _stage_openings(ctx, st, q3, z_x, alpha, beta, gamma, z, v)
+
+    cms = prims.commit_many(ctx, [st["a_x"], st["b_x"], st["c_x"], z_x,
+                                  q3["t_lo_x"], q3["t_mid_x"],
+                                  q3["t_hi_x"],
+                                  q5["w_z_x_quo"], q5["w_z_omega_x"]])
     pick = lambda i: G1(cms.x[i], cms.y[i], cms.inf[i])
-    a_s, b_s, c_s, z_s = pick(0), pick(1), pick(2), pick(3)
-    t_lo_s, t_mid_s, t_hi_s = pick(4), pick(5), pick(6)
-    w_z_s, w_z_omega_s = pick(7), pick(8)
 
     dec = Fr.decode
-    proof = Proof(a_s=a_s, b_s=b_s, c_s=c_s, z_s=z_s, t_lo_s=t_lo_s,
-                  t_mid_s=t_mid_s, t_hi_s=t_hi_s, w_z_s=w_z_s,
-                  w_z_omega_s=w_z_omega_s,
-                  a_z=dec(a_z), b_z=dec(b_z), c_z=dec(c_z),
-                  s_sigma_1_z=dec(s_sigma_1_z), s_sigma_2_z=dec(s_sigma_2_z),
-                  r_z=dec(r_z), z_omega_z=dec(z_omega_z))
-    diags = ScaledDiagnostics(satisfied=satisfied, t_tail_zero=t_tail_zero,
-                              w_z_rem_zero=rem1 == 0,
-                              w_zw_rem_zero=rem2 == 0)
+    proof = Proof(a_s=pick(0), b_s=pick(1), c_s=pick(2), z_s=pick(3),
+                  t_lo_s=pick(4), t_mid_s=pick(5), t_hi_s=pick(6),
+                  w_z_s=pick(7), w_z_omega_s=pick(8),
+                  a_z=dec(q5["a_z"]), b_z=dec(q5["b_z"]), c_z=dec(q5["c_z"]),
+                  s_sigma_1_z=dec(q5["s_sigma_1_z"]),
+                  s_sigma_2_z=dec(q5["s_sigma_2_z"]),
+                  r_z=dec(q5["r_z"]), z_omega_z=dec(q5["z_omega_z"]))
+    diags = ScaledDiagnostics(satisfied=st["satisfied"],
+                              t_tail_zero=q3["t_tail_zero"],
+                              w_z_rem_zero=q5["rem1"] == 0,
+                              w_zw_rem_zero=q5["rem2"] == 0)
     return proof, diags
+
+
+def prove_scaled_checked(ctx: ScaledContext, selectors, copies, a_w, b_w,
+                         c_w, challenge, rand9, public_inputs=None):
+    """Checked-error lane (SURVEY §5 sanitizer analog): runs the prover
+    under jax.experimental.checkify with index checks (catches
+    out-of-bounds copy-constraint indices in the sigma gather, which XLA
+    would silently clamp) plus user checks mirroring every reference
+    abort (src/plonk.h:231,368,506-510,610,617). Raises on violation;
+    returns (Proof, Diagnostics) otherwise. Debug lane — slower than
+    prove_scaled."""
+    from jax.experimental import checkify
+
+    cps = jnp.asarray(copies)
+    n = ctx.n
+
+    def fn(cps_, a_, b_, c_, ch_, rnd_, pi_):
+        checkify.check(jnp.all(cps_[..., 0] < 3),
+                       "copy tag out of range (must be 0..2)")
+        checkify.check(jnp.all((cps_[..., 1] >= 1) & (cps_[..., 1] <= n)),
+                       "copy index out of range (1-based, <= n)")
+        proof, diags = prove_scaled(ctx, jnp.asarray(selectors, U32), cps_,
+                                    a_, b_, c_, ch_, rnd_,
+                                    public_inputs=pi_)
+        checkify.check(diags.satisfied,
+                       "witness does not satisfy the constraints "
+                       "(src/plonk.h:231)")
+        checkify.check(diags.t_tail_zero,
+                       "quotient division not exact (src/plonk.h:506-510)")
+        checkify.check(diags.w_z_rem_zero,
+                       "W_z opening remainder nonzero (src/plonk.h:610)")
+        checkify.check(diags.w_zw_rem_zero,
+                       "W_zw opening remainder nonzero (src/plonk.h:617)")
+        return proof, diags
+
+    checked = checkify.checkify(
+        fn, errors=checkify.index_checks | checkify.user_checks)
+    pi = (jnp.zeros((n,), U32) if public_inputs is None
+          else jnp.asarray(public_inputs, U32))
+    err, out = jax.jit(checked)(
+        cps, jnp.asarray(a_w, U32), jnp.asarray(b_w, U32),
+        jnp.asarray(c_w, U32), jnp.asarray(challenge, U32),
+        jnp.asarray(rand9, U32), pi)
+    err.throw()
+    return out
 
 
 # ---------------- scaled verifier ----------------
@@ -398,11 +708,20 @@ class ScaledVK(NamedTuple):
 
 
 def make_vk_scaled(ctx: ScaledContext, selectors, copies) -> ScaledVK:
-    return jax.jit(lambda s, c: _make_vk_scaled(ctx, s, c))(
-        jnp.asarray(selectors, U32), jnp.asarray(copies))
+    from ..ops.fixed_base import FixedBaseTable
+    tbl = fixed_base_table(ctx)
+
+    def run(tx, ty, tinf, s, c):
+        commit = table_commit(ctx, FixedBaseTable(tx, ty, tinf,
+                                                  tbl.window_bits))
+        return _make_vk_scaled(ctx, s, c, commit)
+
+    return jax.jit(run)(tbl.x, tbl.y, tbl.inf,
+                        jnp.asarray(selectors, U32), jnp.asarray(copies))
 
 
-def _make_vk_scaled(ctx: ScaledContext, selectors, copies) -> ScaledVK:
+def _make_vk_scaled(ctx: ScaledContext, selectors, copies,
+                    commit=None) -> ScaledVK:
     Fr = ctx.Fr
     r = ctx.params.field.p
     n = ctx.n
@@ -417,32 +736,35 @@ def _make_vk_scaled(ctx: ScaledContext, selectors, copies) -> ScaledVK:
     stacked = jnp.stack([sel[3], sel[0], sel[1], sel[2], sel[4]] + sig)
     # rows: q_m, q_l, q_r, q_o, q_c, s1, s2, s3
     polys = N.intt(Fr, stacked, omega)
-    cms = _commit_many(ctx, [polys[i] for i in range(8)])
+    commit = commit if commit is not None else _commit_many
+    cms = commit(ctx, [polys[i] for i in range(8)])
     return ScaledVK(*[G1(cms.x[i], cms.y[i], cms.inf[i]) for i in range(8)])
 
 
-_VERIFY_JIT_CACHE: dict = {}
-
-
 def verify_scaled(ctx: ScaledContext, vk: ScaledVK, proof: Proof,
-                  challenge) -> bool:
+                  challenge, public_inputs=None) -> bool:
     """Two-pairing KZG verification of a scaled proof (same identity as
     models/verifier.py, Montgomery-aware: field math in Montgomery form,
     scalar multiplications with decoded standard scalars). The heavy body
-    is jitted once per context (eager pairings are ~10^5 dispatches)."""
-    key = id(ctx)
-    fn = _VERIFY_JIT_CACHE.get(key)
+    is jitted once per context — the compiled callable lives ON the
+    context object (an id()-keyed module dict would alias after GC and
+    serve a stale verifier for a different SRS; ADVICE round 1)."""
+    fn = getattr(ctx, "_verify_jit", None)
     if fn is None:
-        fn = jax.jit(lambda v, p, c: _verify_scaled_flags(ctx, v, p, c))
-        _VERIFY_JIT_CACHE[key] = fn
-    ok1, ok2 = fn(vk, proof, jnp.asarray(challenge, U32))
+        fn = jax.jit(lambda v, p, c, pi: _verify_scaled_flags(
+            ctx, v, p, c, pi))
+        object.__setattr__(ctx, "_verify_jit", fn)
+    pi = (jnp.zeros((ctx.n,), U32) if public_inputs is None
+          else jnp.asarray(public_inputs, U32))
+    ok1, ok2 = fn(vk, proof, jnp.asarray(challenge, U32), pi)
     return bool(ok1) and bool(ok2)
 
 
-def _verify_scaled_flags(ctx: ScaledContext, vk: ScaledVK, proof: Proof,
-                         challenge):
-    from ..ops.curve import g1_add, g1_mul, g1_neg, g1_generator, gt_equal
-    from ..ops.pairing import pairing
+def _verify_points(ctx: ScaledContext, vk: ScaledVK, proof: Proof,
+                   challenge, public_inputs=None):
+    """The scalar/G1 algebra of verification: returns the two KZG check
+    pairs ((W_i, R_i) with accept iff e(W_i, [s]_2) == e(R_i, [1]_2))."""
+    from ..ops.curve import g1_add, g1_mul, g1_neg, g1_generator
 
     Fr, Fq = ctx.Fr, ctx.Fq
     pp = ctx.params
@@ -474,7 +796,17 @@ def _verify_scaled_flags(ctx: ScaledContext, vk: ScaledVK, proof: Proof,
         Fr.mul(Fr.mul(Fr.mul(alpha, Fr.mul(as1z, bs2z)),
                       Fr.add(c_z, gamma)), zw_z),
         Fr.mul(alpha_sq, l_1_z))
-    t_z = Fr.mul(Fr.sub(r_z, r0), Fr.inv(z_h_z))
+    t_z_num = Fr.sub(r_z, r0)
+    if public_inputs is not None:
+        # PI(z) via barycentric evaluation over H:
+        # PI(z) = (z^n - 1)/n * sum_i pi_i * w^i / (z - w^i)
+        pi_v = Fr.encode(jnp.asarray(public_inputs, U32))
+        h_mont = Fr.array(_pow_table(r, ctx.omega(), n))
+        terms = Fr.mul(Fr.mul(pi_v, h_mont), Fr.inv(Fr.sub(z, h_mont)))
+        pi_z = Fr.mul(Fr.mul(z_h_z, Fr.const(pow(n, -1, r))),
+                      _tree_sum(Fr, terms))
+        t_z_num = Fr.add(t_z_num, pi_z)
+    t_z = Fr.mul(t_z_num, Fr.inv(z_h_z))
 
     mulp = lambda pt, s_mont: g1_mul(Fq, pt, dec(s_mont), nbits=nbits)
     azg = Fr.add(Fr.add(a_z, Fr.mul(beta, z)), gamma)
@@ -508,15 +840,70 @@ def _verify_scaled_flags(ctx: ScaledContext, vk: ScaledVK, proof: Proof,
         e_scalar = Fr.add(e_scalar, Fr.mul(coef, val))
     e_neg = g1_neg(Fq, mulp(g, e_scalar))
 
-    def kzg(w_cm, point_std, combined, eval_neg):
-        rhs_pt = g1_add(Fq, g1_mul(Fq, w_cm, point_std, nbits=nbits),
-                        g1_add(Fq, combined, eval_neg))
-        lhs = pairing(Fq, curve, w_cm, ctx.srs.g2_s)
-        rhs = pairing(Fq, curve, rhs_pt, ctx.srs.g2_1)
-        return gt_equal(lhs, rhs)
+    def rhs(w_cm, point_std, combined, eval_neg):
+        return g1_add(Fq, g1_mul(Fq, w_cm, point_std, nbits=nbits),
+                      g1_add(Fq, combined, eval_neg))
 
-    ok1 = kzg(proof.w_z_s, ch_std[3], f_cm, e_neg)
+    r1 = rhs(proof.w_z_s, ch_std[3], f_cm, e_neg)
     zw_std = dec(Fr.mul(z, Fr.const(ctx.omega())))
     e2_neg = g1_neg(Fq, mulp(g, zw_z))
-    ok2 = kzg(proof.w_z_omega_s, zw_std, proof.z_s, e2_neg)
-    return ok1, ok2
+    r2 = rhs(proof.w_z_omega_s, zw_std, proof.z_s, e2_neg)
+    return proof.w_z_s, r1, proof.w_z_omega_s, r2
+
+
+def _stack_g1(pts) -> G1:
+    return G1(jnp.stack([p.x for p in pts], axis=-1),
+              jnp.stack([p.y for p in pts], axis=-1),
+              jnp.stack([p.inf for p in pts], axis=-1))
+
+
+def _pairing_ratio_checks(ctx: ScaledContext, lhs: G1, rhs: G1):
+    """accept[...] iff e(lhs, [s]_2) == e(rhs, [1]_2), elementwise over any
+    batch shape — computed as ONE Miller ratio + ONE final exponentiation
+    per check instead of two full pairings (shared-final-exp batching;
+    reference primitive src/pairing.h:66-83)."""
+    from ..ops.curve import GT, gt_mul, gt_inv, gt_equal, _sel
+    from ..ops.pairing import miller_loop, final_exponentiation
+
+    Fq = ctx.Fq
+    curve = ctx.params.curve
+    one = GT.one(Fq, jnp.shape(lhs.x))
+    mask = lambda inf, t: GT(_sel(inf, one.a, t.a), _sel(inf, one.b, t.b))
+    ml_l = mask(lhs.inf, miller_loop(Fq, curve, lhs, ctx.srs.g2_s))
+    ml_r = mask(rhs.inf, miller_loop(Fq, curve, rhs, ctx.srs.g2_1))
+    ratio = gt_mul(Fq, curve.d, ml_l, gt_inv(Fq, curve.d, ml_r))
+    return gt_equal(final_exponentiation(Fq, curve, ratio), one)
+
+
+def _verify_scaled_flags(ctx: ScaledContext, vk: ScaledVK, proof: Proof,
+                         challenge, public_inputs=None):
+    w1, r1, w2, r2 = _verify_points(ctx, vk, proof, challenge,
+                                    public_inputs)
+    oks = _pairing_ratio_checks(ctx, _stack_g1([w1, w2]),
+                                _stack_g1([r1, r2]))
+    return oks[0], oks[1]
+
+
+def verify_scaled_many(ctx: ScaledContext, vk: ScaledVK, proofs: Proof,
+                       challenges, public_inputs=None) -> jnp.ndarray:
+    """Batched verification: `proofs` is a Proof pytree with a leading
+    batch axis, `challenges` is (B, 5). Returns a (B,) bool array. The
+    scalar/G1 algebra is vmapped; all 2B pairing checks ride ONE batched
+    Miller kernel and ONE shared final exponentiation (VERDICT round-1
+    item 6; the reference has no verifier at all, SURVEY §2.2.2)."""
+    fn = getattr(ctx, "_verify_many_jit", None)
+    if fn is None:
+        def impl(vkey, prfs, chs, pis):
+            w1, r1, w2, r2 = jax.vmap(
+                lambda pr, ch, pi: _verify_points(ctx, vkey, pr, ch, pi))(
+                    prfs, chs, pis)
+            oks = _pairing_ratio_checks(ctx, _stack_g1([w1, w2]),
+                                        _stack_g1([r1, r2]))
+            return jnp.logical_and(oks[..., 0], oks[..., 1])
+
+        fn = jax.jit(impl)
+        object.__setattr__(ctx, "_verify_many_jit", fn)
+    chs = jnp.asarray(challenges, U32)
+    pis = (jnp.zeros((chs.shape[0], ctx.n), U32) if public_inputs is None
+           else jnp.asarray(public_inputs, U32))
+    return fn(vk, proofs, chs, pis)

@@ -87,7 +87,15 @@ def srs_create(Fq, curve, secret: int, n: int, mode: str = "reference") -> SRS:
 
     g1s = g1_mul(Fq, base, powers)      # batched ladder over all powers
     g2_1 = g2_generator(curve, Fq)
-    g2_s = g2_mul(Fq, curve.d, g2_1, jnp.uint32(secret))
+    if mode == "fixed":
+        # reduce mod the GROUP ORDER so g2_s stays consistent with the G1
+        # powers for secrets >= 2^32 (a raw uint32 cast silently wraps mod
+        # 2^32 and every pairing check fails — ADVICE round 1, srs.py:90)
+        s_red = secret % curve.r
+        g2_s = g2_mul(Fq, curve.d, g2_1, jnp.uint32(s_red),
+                      nbits=max(curve.r.bit_length(), 2))
+    else:
+        g2_s = g2_mul(Fq, curve.d, g2_1, jnp.uint32(secret % (1 << 32)))
     return SRS(g1s=g1s, g2_1=g2_1, g2_s=g2_s, mode=mode)
 
 

@@ -269,6 +269,16 @@ def gt_equal(x: GT, y: GT) -> jnp.ndarray:
     return jnp.logical_and(x.a == y.a, x.b == y.b)
 
 
+def gt_inv(F, d_const: int, x: GT) -> GT:
+    """(a + bu)^{-1} = (a - bu) / (a^2 - d*b^2) — one base-field inversion
+    per element; lets pairing equalities e1 == e2 run as ONE final
+    exponentiation of the Miller ratio (models/plonk_scaled.verify_many)."""
+    d = F.const(d_const % F.p)
+    norm = F.sub(F.mul(x.a, x.a), F.mul(F.mul(d, x.b), x.b))
+    ninv = F.inv(norm)
+    return GT(F.mul(x.a, ninv), F.mul(F.neg(x.b), ninv))
+
+
 # ---------------- Jacobian coordinates (performance path) ----------------
 #
 # The affine kernels above are the bit-exact parity path; every add costs a

@@ -1,0 +1,212 @@
+"""Fixed-base MSM: precomputed window tables + gather + tree reduction.
+
+The prover's 9 commitments (and the verifier key's 8) are all MSMs against
+the SAME fixed SRS points (reference: src/srs.h:53-68 recomputes a full
+scalar-mul ladder per coefficient, per commitment). On TPU the generic
+Pippenger path (ops/msm.py) pays an argsort (~45% of its time) plus a
+segmented associative scan per window. With fixed bases both disappear:
+
+  precompute  T[w][d][i] = d * 2^(w*window_bits) * P_i   (once per SRS)
+  commit      sum over (w, i) of T[w][digit(s_i, w)][i]
+
+— a pure gather along the digit axis followed by a lane-parallel binary
+tree of Jacobian additions. No sort, no scan, no sequential bucket walk:
+every step is a full-width VPU op, which is exactly the shape TPUs want.
+
+Costs for B-bit scalars with window width w over L points:
+  table:   ceil(B/w) * 2^w * L points (built with ~2^w vectorized adds,
+           one batched affine conversion; cached per SRS)
+  commit:  ceil(B/w) * L gathered points, 2 * ceil(B/w) * L Jacobian adds
+           in log depth.
+
+Identical group outputs to srs_commit_naive / msm_pippenger (asserted in
+tests/test_srs_msm.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .curve import G1, G1J, jac_from_affine, jac_to_affine, jac_add, \
+    jac_double
+
+U32 = jnp.uint32
+
+
+class FixedBaseTable(NamedTuple):
+    """Affine window-multiple table. Arrays of shape
+    (n_windows, n_buckets, L); `inf` marks identity entries (all of row
+    d=0, plus any d*2^shift*P_i that lands on the identity — possible for
+    tiny toy subgroups, never for production-scale r)."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    inf: jnp.ndarray
+    window_bits: int
+
+    @property
+    def n_windows(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def length(self) -> int:
+        return self.x.shape[2]
+
+
+def pick_window_bits(L: int, scalar_bits: int,
+                     budget_bytes: int = 2 << 30) -> int:
+    """Widest window whose table fits the memory budget (fewer windows =
+    fewer gathered points = less tree work)."""
+    for w in (9, 8, 7, 6, 5, 4):
+        n_windows = -(-scalar_bits // w)
+        entries = n_windows * (1 << w) * L
+        if entries * 9 <= budget_bytes:   # x + y (4B each) + inf (1B)
+            return w
+    return 3
+
+
+def build_fixed_base_table(F, pts: G1, window_bits: int,
+                           scalar_bits: int) -> FixedBaseTable:
+    """Precompute T[w][d] = d * 2^(w*window_bits) * pts for d in
+    [0, 2^window_bits). All device work is vectorized over the L points;
+    the only sequential dimension is the 2^window_bits - 1 multiple steps
+    (a lax.scan of batched Jacobian adds)."""
+    n_windows = -(-scalar_bits // window_bits)
+    n_buckets = 1 << window_bits
+    base = jac_from_affine(F, pts)
+
+    def window_multiples(b: G1J):
+        def step(carry, _):
+            return jac_add(F, carry, b), carry
+        _, mult = jax.lax.scan(step, b, None, length=n_buckets - 1)
+        return mult                                # (n_buckets-1, L) jac
+
+    rows_x, rows_y, rows_inf = [], [], []
+    for _ in range(n_windows):
+        m = window_multiples(base)
+        aff = jac_to_affine(F, G1J(m.X, m.Y, m.Z))
+        ident = G1.identity((1,) + pts.x.shape)
+        rows_x.append(jnp.concatenate([ident.x, aff.x]))
+        rows_y.append(jnp.concatenate([ident.y, aff.y]))
+        rows_inf.append(jnp.concatenate([ident.inf, aff.inf]))
+        for _ in range(window_bits):
+            base = jac_double(F, base)
+    return FixedBaseTable(x=jnp.stack(rows_x), y=jnp.stack(rows_y),
+                          inf=jnp.stack(rows_inf), window_bits=window_bits)
+
+
+import os
+
+_GATHER_MODE = os.environ.get("PLONK_TPU_FB_GATHER", "auto")
+
+
+def _digits(table: FixedBaseTable, scalars: jnp.ndarray) -> jnp.ndarray:
+    wb = table.window_bits
+    n_windows, n_buckets, _ = table.x.shape
+    shifts = jnp.asarray([w * wb for w in range(n_windows)], U32)
+    return ((scalars[..., None, :] >> shifts[:, None])
+            & jnp.uint32(n_buckets - 1))
+
+
+def _terms_from(F, gx, gy, ginf) -> G1J:
+    one = jnp.broadcast_to(F.ones(), gx.shape).astype(U32)
+    Z = jnp.where(ginf, jnp.zeros_like(one), one)
+    return G1J(jnp.where(ginf, one, gx), jnp.where(ginf, one, gy), Z)
+
+
+def _gather_terms(F, table: FixedBaseTable, scalars: jnp.ndarray) -> G1J:
+    """Standard-form scalars (L,) -> the n_windows*L Jacobian terms, via
+    XLA gather (random access into the table)."""
+    digits = _digits(table, scalars).astype(jnp.int32)
+    idx = digits[:, None, :]
+    gx = jnp.take_along_axis(table.x, idx, axis=1).reshape(-1)
+    gy = jnp.take_along_axis(table.y, idx, axis=1).reshape(-1)
+    ginf = jnp.take_along_axis(table.inf, idx, axis=1).reshape(-1)
+    return _terms_from(F, gx, gy, ginf)
+
+
+def select_terms_many(F, table: FixedBaseTable,
+                      scalars: jnp.ndarray) -> G1J:
+    """(B, L) scalars -> (B, n_windows*L) Jacobian terms via a STREAMING
+    bucket sweep: one lax.scan over the bucket axis selecting into an
+    accumulator. No gather op at all — the table is read exactly once,
+    sequentially (HBM-streaming friendly), shared by ALL B commitments.
+    TPU random gathers run element-at-a-time; this trades them for
+    n_buckets full-width selects."""
+    B = scalars.shape[0]
+    n_windows, n_buckets, L = table.x.shape
+    digits = _digits(table, scalars)                   # (B, W, L)
+    d_ids = jnp.arange(n_buckets, dtype=U32)
+
+    def step(acc, inputs):
+        d, tx, ty, tinf = inputs                       # tx/ty: (W, L)
+        ax, ay, ainf = acc
+        m = digits == d                                # (B, W, L)
+        ax = jnp.where(m, tx[None], ax)
+        ay = jnp.where(m, ty[None], ay)
+        ainf = jnp.where(m, tinf[None], ainf)
+        return (ax, ay, ainf), None
+
+    init = (jnp.zeros((B, n_windows, L), U32),
+            jnp.zeros((B, n_windows, L), U32),
+            jnp.ones((B, n_windows, L), jnp.bool_))
+    (gx, gy, ginf), _ = jax.lax.scan(
+        step, init,
+        (d_ids, table.x.transpose(1, 0, 2),
+         table.y.transpose(1, 0, 2), table.inf.transpose(1, 0, 2)))
+    shape = (B, n_windows * L)
+    return _terms_from(F, gx.reshape(shape), gy.reshape(shape),
+                       ginf.reshape(shape))
+
+
+def _tree_reduce(F, terms: G1J) -> G1J:
+    """Lane-parallel binary EC-sum: log2 halving steps of full-width
+    Jacobian adds (contiguous halves, no strided access)."""
+    n = terms.X.shape[0]
+    m = 1 << (n - 1).bit_length() if n > 1 else 1
+    if m != n:
+        pad = G1J.identity(F, (m - n,))
+        terms = G1J(jnp.concatenate([terms.X, pad.X]),
+                    jnp.concatenate([terms.Y, pad.Y]),
+                    jnp.concatenate([terms.Z, pad.Z]))
+    while m > 1:
+        h = m // 2
+        terms = jac_add(F, G1J(terms.X[:h], terms.Y[:h], terms.Z[:h]),
+                        G1J(terms.X[h:], terms.Y[h:], terms.Z[h:]))
+        m = h
+    return G1J(terms.X[0], terms.Y[0], terms.Z[0])
+
+
+def msm_fixed_base(F, table: FixedBaseTable, scalars: jnp.ndarray) -> G1:
+    """sum_i scalars[i] * P_i against the precomputed table. Scalars in
+    STANDARD form (the digit decomposition is a bit pattern), coordinates
+    whatever form the table was built in."""
+    terms = _gather_terms(F, table, jnp.asarray(scalars, U32))
+    return jac_to_affine(F, _tree_reduce(F, terms))
+
+
+def msm_fixed_base_many(F, table: FixedBaseTable,
+                        scalars_batch: jnp.ndarray,
+                        mode: str | None = None) -> G1:
+    """Batched commitments: (B, L) scalars -> G1 batch of shape (B,). One
+    graph for all commitments; the term selection and the tree are
+    batched, so the tree stays full-width even for small L.
+
+    mode: "gather" (per-element XLA gather), "select" (streaming bucket
+    sweep — reads the table once for ALL commitments), or None -> env
+    PLONK_TPU_FB_GATHER / auto (select on TPU, gather on CPU)."""
+    scalars_batch = jnp.asarray(scalars_batch, U32)
+    mode = mode or _GATHER_MODE
+    if mode == "auto":
+        mode = "gather" if jax.default_backend() == "cpu" else "select"
+    if mode == "select":
+        terms = select_terms_many(F, table, scalars_batch)
+        out = jax.vmap(lambda t: _tree_reduce(F, t))(terms)
+        return jac_to_affine(F, out)
+    fn = jax.vmap(lambda s: msm_fixed_base(F, table, s))
+    return fn(scalars_batch)

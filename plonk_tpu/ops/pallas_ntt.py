@@ -125,3 +125,80 @@ def row_stages(p: int, n_prime: int, y: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((R, C), U32),
         interpret=interpret,
     )(tw_stack, y)
+
+
+# ---------------- full per-row transforms (DIF / DIT) ----------------
+#
+# A row of width C holds one complete size-C transform, all log2(C)
+# stages resident in VMEM:
+# - DIF (decimation in frequency): natural input -> BIT-REVERSED output;
+#   butterfly (a, b) -> (a + b, (a - b) * tw), stages half = C/2 .. 1.
+# - DIT (decimation in time): bit-reversed input -> natural output;
+#   butterfly (a, b) -> (a + b*tw, a - b*tw), stages half = 1 .. C/2.
+# The per-stage lane twiddle vector tv[pos] = w^((pos mod half) * n/(2half))
+# is IDENTICAL for both; only stage order and butterfly form differ. Using
+# DIF forward + DIT inverse eliminates every bit-reversal permutation from
+# the four-step transform (ops/fused_ntt.py).
+
+
+def _full_row_kernel(p: int, n_prime: int, C: int, block_rows: int,
+                     dif: bool, tw_ref, y_ref, out_ref):
+    add, sub, mul = _mont_ops(p, n_prime)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (block_rows, C), 1)
+    y = y_ref[:]
+    stages = []
+    half = 1
+    s = 0
+    while half < C:
+        stages.append((half, s))
+        half *= 2
+        s += 1
+    if dif:
+        stages = stages[::-1]
+    for half, s in stages:
+        tv = tw_ref[s, :]
+        in_low = (pos % (2 * half)) < half
+        down = pltpu.roll(y, C - half, 1)   # y[j + half] at position j
+        up = pltpu.roll(y, half, 1)         # y[j - half] at position j
+        if dif:
+            # low: a + b ; high: (a' - b') * tv where at a high position
+            # the local value IS b and `up` is a
+            low_new = add(y, down)
+            high_new = mul(sub(up, y), tv)
+        else:
+            low_new = add(y, mul(down, tv))
+            high_new = sub(up, mul(y, tv))
+        y = jnp.where(in_low, low_new, high_new)
+    out_ref[:] = y
+
+
+def row_transform(p: int, n_prime: int, y: jnp.ndarray,
+                  tw_stack: jnp.ndarray, dif: bool,
+                  block_rows: int = 256,
+                  interpret: bool = False) -> jnp.ndarray:
+    """One complete size-C NTT per row of y (R, C), fused in VMEM.
+    dif=True: natural -> bit-reversed; dif=False: bit-reversed -> natural.
+    tw_stack as produced by ops/ntt._stage_tables for half < C."""
+    R, C = y.shape
+    block_rows = min(block_rows, R)
+    while R % block_rows:
+        block_rows -= 1
+    kern = functools.partial(_full_row_kernel, p, n_prime, C, block_rows,
+                             dif)
+    return pl.pallas_call(
+        kern,
+        grid=(R // block_rows,),
+        in_specs=[
+            pl.BlockSpec((tw_stack.shape[0], C), lambda i: (0, 0),
+                         memory_space=pl.ANY
+                         if interpret else pltpu.VMEM),
+            pl.BlockSpec((block_rows, C), lambda i: (i, 0),
+                         memory_space=pl.ANY
+                         if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, C), lambda i: (i, 0),
+                               memory_space=pl.ANY
+                               if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, C), U32),
+        interpret=interpret,
+    )(tw_stack, y)

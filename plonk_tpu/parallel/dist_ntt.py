@@ -17,11 +17,17 @@ k = k1 + n1*k2):
   4. all_to_all transpose back -> rows local
   5. local size-n2 NTT (root w^{n1}) along i2
 
-The forward transform leaves results in the (k1, k2) "transposed" layout;
-pointwise products are layout-agnostic and the inverse transform consumes
-that layout and restores natural order, so NTT-domain multiplication never
-pays an extra transpose (dist_ntt_mul). `dist_interpolate` adds the one
-layout-restoring transpose needed to return natural-order coefficients.
+The forward transform leaves results in the (k1, k2) "transposed" layout
+(flat index j = k1*n2 + k2; `transposed_perm` maps natural-order tables to
+it); pointwise products are layout-agnostic and the inverse transform
+consumes that layout and restores natural order, so NTT-domain
+multiplication never pays an extra transpose (dist_ntt_mul).
+`dist_interpolate` adds the one layout-restoring transpose needed to return
+natural-order coefficients.
+
+All entry points accept leading batch dimensions (the scaled prover's
+15-polynomial coset stack rides ONE sharded transform, batched along the
+leading axis — models/plonk_scaled.py round 3).
 """
 from __future__ import annotations
 
@@ -89,24 +95,39 @@ def _split(n: int, n_dev: int):
     return n1, n2
 
 
+def transposed_perm(n: int, n_dev: int) -> np.ndarray:
+    """Host permutation: perm[j] = natural index of the element the
+    forward transform leaves at flat position j = k1*n2 + k2. Apply to a
+    natural-order host table to align it with dist_ntt's output layout."""
+    n1, n2 = _split(n, n_dev)
+    k1, k2 = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    return (k1 + n1 * k2).reshape(-1)
+
+
+def _spec(nbatch: int, axis: str) -> P:
+    return P(*((None,) * nbatch + (axis,)))
+
+
 def _fwd_local(F, x_loc, *, w, n1, n2, n_dev, axis, inverse):
-    """Per-device body of the four-step transform. x_loc: (n1/n_dev, n2)
-    rows of the natural-order matrix. Returns (n1/n_dev, n2) rows of the
-    (k1, k2) result matrix."""
+    """Per-device body of the four-step transform. x_loc: batch +
+    (n1/n_dev, n2) rows of the natural-order matrix. Returns rows of the
+    (k1, k2) result matrix, same shape."""
+    nb = x_loc.ndim - 2
     d = jax.lax.axis_index(axis)
     wq = pow(w, -1, F.p) if inverse else w
-    # 1. transpose: -> (n1, n2/n_dev) full columns
-    cols = jax.lax.all_to_all(x_loc, axis, split_axis=1, concat_axis=0,
-                              tiled=True)
-    # 2. local column transform (axis 0), root w^{n2} of order n1
-    cols_t = local_ntt(F, cols.swapaxes(0, 1), pow(wq, n2, F.p)).swapaxes(0, 1)
+    # 1. transpose: -> batch + (n1, n2/n_dev) full columns
+    cols = jax.lax.all_to_all(x_loc, axis, split_axis=nb + 1,
+                              concat_axis=nb, tiled=True)
+    # 2. local column transform (axis -2), root w^{n2} of order n1
+    cols_t = local_ntt(F, cols.swapaxes(-1, -2),
+                       pow(wq, n2, F.p)).swapaxes(-1, -2)
     # 3. twiddle w^{i2 k1}
     tw_all = F.array(_twiddle_all(F.p, w, n1, n2, n_dev, inverse))
     cols_t = F.mul(cols_t, tw_all[d])
-    # 4. transpose back: -> (n1/n_dev, n2) rows (rows are k1 chunks)
-    rows = jax.lax.all_to_all(cols_t, axis, split_axis=0, concat_axis=1,
-                              tiled=True)
-    # 5. local row transform (axis 1), root w^{n1} of order n2
+    # 4. transpose back: -> batch + (n1/n_dev, n2) rows (rows = k1 chunks)
+    rows = jax.lax.all_to_all(cols_t, axis, split_axis=nb,
+                              concat_axis=nb + 1, tiled=True)
+    # 5. local row transform (axis -1), root w^{n1} of order n2
     return local_ntt(F, rows, pow(wq, n1, F.p))
 
 
@@ -126,24 +147,26 @@ def _cached_shmap(key, build):
 
 def dist_ntt(F, mesh: Mesh, x, w: int, axis: str = "sp",
              inverse: bool = False):
-    """Forward (or unscaled-inverse) transform of a sharded 1-D array of
-    length n. Input natural order; output in (k1, k2) transposed layout,
-    sharded the same way."""
+    """Forward (or unscaled-inverse) transform of an array of shape
+    batch + (n,) sharded on the last axis. Input natural order; output in
+    (k1, k2) transposed layout, sharded the same way."""
     n = x.shape[-1]
+    batch = x.shape[:-1]
+    nb = len(batch)
     n_dev = mesh.shape[axis]
     n1, n2 = _split(n, n_dev)
 
     def build():
         def body(x_loc):
-            loc = x_loc.reshape(n1 // n_dev, n2)
+            loc = x_loc.reshape(batch + (n1 // n_dev, n2))
             out = _fwd_local(F, loc, w=w, n1=n1, n2=n2, n_dev=n_dev,
                              axis=axis, inverse=inverse)
-            return out.reshape(-1)
+            return out.reshape(batch + (n // n_dev,))
 
-        return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
-                             out_specs=P(axis), check_vma=False)
+        return jax.shard_map(body, mesh=mesh, in_specs=_spec(nb, axis),
+                             out_specs=_spec(nb, axis), check_vma=False)
 
-    f = _cached_shmap(("fwd", F.p, mesh, axis, n, w, inverse), build)
+    f = _cached_shmap(("fwd", F.p, mesh, axis, batch, n, w, inverse), build)
     return f(x)
 
 
@@ -151,19 +174,22 @@ def _untranspose(F, mesh, y, n1, n2, axis):
     """(k1, k2) layout -> natural order k = k1 + n1*k2 (one all_to_all +
     local transpose)."""
     n_dev = mesh.shape[axis]
+    batch = y.shape[:-1]
+    nb = len(batch)
 
     def build():
         def body(y_loc):
-            rows = y_loc.reshape(n1 // n_dev, n2)        # rows k1, cols k2
-            cols = jax.lax.all_to_all(rows, axis, split_axis=1,
-                                      concat_axis=0, tiled=True)
+            rows = y_loc.reshape(batch + (n1 // n_dev, n2))  # k1 rows
+            cols = jax.lax.all_to_all(rows, axis, split_axis=nb + 1,
+                                      concat_axis=nb, tiled=True)
             # natural order as (k2, k1) row-major: transpose locally
-            return cols.swapaxes(0, 1).reshape(-1)
+            return cols.swapaxes(-1, -2).reshape(
+                batch + (n1 * n2 // n_dev,))
 
-        return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
-                             out_specs=P(axis), check_vma=False)
+        return jax.shard_map(body, mesh=mesh, in_specs=_spec(nb, axis),
+                             out_specs=_spec(nb, axis), check_vma=False)
 
-    f = _cached_shmap(("untrans", F.p, mesh, axis, n1, n2), build)
+    f = _cached_shmap(("untrans", F.p, mesh, axis, batch, n1, n2), build)
     return f(y)
 
 
@@ -173,34 +199,36 @@ def dist_intt(F, mesh: Mesh, y, w: int, axis: str = "sp"):
     inverse roots/twiddles — so a fwd/pointwise/inv chain costs exactly four
     all_to_alls total."""
     n = y.shape[-1]
+    batch = y.shape[:-1]
+    nb = len(batch)
     n_dev = mesh.shape[axis]
     n1, n2 = _split(n, n_dev)
     w_inv = pow(w, -1, F.p)
 
     def body(y_loc):
-        rows = y_loc.reshape(n1 // n_dev, n2)            # rows k1, cols k2
+        rows = y_loc.reshape(batch + (n1 // n_dev, n2))  # k1 rows, k2 cols
         d = jax.lax.axis_index(axis)
         # undo step 5: inverse row transform (root (w^{n1})^{-1}, unscaled)
         rows = local_ntt(F, rows, pow(w_inv, n1, F.p))   # cols now i2
-        # undo step 4: -> (n1, n2/n_dev) full columns
-        cols = jax.lax.all_to_all(rows, axis, split_axis=1, concat_axis=0,
-                                  tiled=True)
+        # undo step 4: -> batch + (n1, n2/n_dev) full columns
+        cols = jax.lax.all_to_all(rows, axis, split_axis=nb + 1,
+                                  concat_axis=nb, tiled=True)
         # undo step 3: inverse twiddle w^{-i2 k1}
         tw_all = F.array(_twiddle_all(F.p, w, n1, n2, n_dev, True))
         cols = F.mul(cols, tw_all[d])
         # undo step 2: inverse column transform (root (w^{n2})^{-1})
-        cols = local_ntt(F, cols.swapaxes(0, 1),
-                         pow(w_inv, n2, F.p)).swapaxes(0, 1)
-        # undo step 1: -> (n1/n_dev, n2) natural-order rows
-        nat = jax.lax.all_to_all(cols, axis, split_axis=0, concat_axis=1,
-                                 tiled=True)
-        return nat.reshape(-1)
+        cols = local_ntt(F, cols.swapaxes(-1, -2),
+                         pow(w_inv, n2, F.p)).swapaxes(-1, -2)
+        # undo step 1: -> batch + (n1/n_dev, n2) natural-order rows
+        nat = jax.lax.all_to_all(cols, axis, split_axis=nb,
+                                 concat_axis=nb + 1, tiled=True)
+        return nat.reshape(batch + (n // n_dev,))
 
     def build():
-        return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
-                             out_specs=P(axis), check_vma=False)
+        return jax.shard_map(body, mesh=mesh, in_specs=_spec(nb, axis),
+                             out_specs=_spec(nb, axis), check_vma=False)
 
-    f = _cached_shmap(("inv", F.p, mesh, axis, n, w), build)
+    f = _cached_shmap(("inv", F.p, mesh, axis, batch, n, w), build)
     out = f(y)
     return F.mul(out, F.const(pow(n, -1, F.p)))
 

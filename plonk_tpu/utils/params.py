@@ -129,5 +129,19 @@ def scaled_plonk_params(n: int) -> PlonkParams:
     return PlonkParams(curve=SCALED_CURVE,
                        omega=SCALED_FR.root_of_unity(n), k1=7, k2=49)
 
+# --- production pairing-curve scalar fields (multi-limb, ops/bigfield.py) ---
+#
+# These are the 254/255-bit NTT-friendly fields real PLONK deployments use;
+# generator/two-adicity values match the standard arkworks/gnark constants.
+
+BN254_FR = FieldParams(
+    p=21888242871839275222246405745257275088548364400416034343698204186575808495617,
+    name="BN254-Fr", generator=5, two_adicity=28)
+
+BLS12_381_FR = FieldParams(
+    p=52435875175126190479447740508185965837690552500527637822603658699938581184513,
+    name="BLS12-381-Fr", generator=7, two_adicity=32)
+
 PRESET_FIELDS = {"F17": HF17, "F101": GF101, "BabyBear": BABYBEAR,
-                 "Fr-scaled": SCALED_FR, "Fq-scaled": SCALED_FQ}
+                 "Fr-scaled": SCALED_FR, "Fq-scaled": SCALED_FQ,
+                 "BN254-Fr": BN254_FR, "BLS12-381-Fr": BLS12_381_FR}

@@ -1,0 +1,93 @@
+"""Mesh-sharded scaled prover == single-chip prover, bit for bit.
+
+The distributed kernels (four-step NTT, sharded scan, sharded fixed-base
+MSM) are exact in the field, so the sharded prove_scaled must produce the
+IDENTICAL Proof struct (VERDICT round-1 item 1). Runs on the 8-device
+virtual CPU mesh (tests/conftest.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plonk_tpu.utils.params import SCALED_FR
+from plonk_tpu.models import plonk_scaled as PS
+from plonk_tpu.models.synthetic import square_chain_circuit
+from plonk_tpu.parallel.mesh import make_1d_mesh
+from plonk_tpu.parallel import dist_prover as DP
+
+R = SCALED_FR.p
+CH = np.array([1111, 2222, 3333, 4444, 5555], dtype=np.uint32)
+RND = np.array([11, 22, 33, 44, 55, 66, 77, 88, 99], dtype=np.uint32)
+
+
+def _proofs_equal(p1, p2):
+    for f in ("a_z", "b_z", "c_z", "s_sigma_1_z", "s_sigma_2_z", "r_z",
+              "z_omega_z"):
+        if int(getattr(p1, f)) != int(getattr(p2, f)):
+            return False, f
+    for f in ("a_s", "b_s", "c_s", "z_s", "t_lo_s", "t_mid_s", "t_hi_s",
+              "w_z_s", "w_z_omega_s"):
+        q1, q2 = getattr(p1, f), getattr(p2, f)
+        if (int(q1.x) != int(q2.x) or int(q1.y) != int(q2.y)
+                or bool(q1.inf) != bool(q2.inf)):
+            return False, f
+    return True, None
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n = 1 << 10
+    ctx = PS.scaled_new(n, secret=13572468)
+    selectors, copies, a, b, c = square_chain_circuit(R, n, x0=9)
+    args = (jnp.asarray(selectors), jnp.asarray(copies), jnp.asarray(a),
+            jnp.asarray(b), jnp.asarray(c))
+    return ctx, args
+
+
+def test_dist_prover_bit_identical(setup):
+    ctx, args = setup
+    mesh = make_1d_mesh("sp", 8)
+    prims = DP.make_dist_prims(ctx, mesh)
+    proof_ref, diags_ref = jax.jit(
+        lambda ch, rnd: PS.prove_scaled(ctx, *args, ch, rnd))(CH, RND)
+    assert bool(diags_ref.all_ok())
+    proof_dist, diags_dist = PS.prove_scaled(ctx, *args, CH, RND,
+                                             prims=prims)
+    assert bool(diags_dist.all_ok())
+    same, field = _proofs_equal(proof_ref, proof_dist)
+    assert same, f"mismatch in {field}"
+
+
+def test_dist_commit_matches_local(setup):
+    ctx, _ = setup
+    mesh = make_1d_mesh("sp", 8)
+    rng = np.random.default_rng(3)
+    Fr = ctx.Fr
+    coeffs = [Fr.encode(jnp.asarray(
+        rng.integers(0, R, size=ctx.n + k, dtype=np.uint32)))
+        for k in (1, 4, 6)]
+    local = PS._commit_many(ctx, coeffs)
+    dist = DP.dist_commit_many(ctx, mesh, coeffs)
+    assert np.array_equal(np.asarray(local.x), np.asarray(dist.x))
+    assert np.array_equal(np.asarray(local.y), np.asarray(dist.y))
+    assert np.array_equal(np.asarray(local.inf), np.asarray(dist.inf))
+
+
+def test_dist_ntt_batched(setup):
+    """Batched (stacked) four-step transform == local, both layouts."""
+    from plonk_tpu.parallel import dist_ntt as DN
+    from plonk_tpu.ops import ntt as N
+    ctx, _ = setup
+    Fr = ctx.Fr
+    mesh = make_1d_mesh("sp", 8)
+    n = 1 << 9
+    w = SCALED_FR.root_of_unity(n)
+    rng = np.random.default_rng(5)
+    x = Fr.encode(jnp.asarray(rng.integers(0, R, size=(3, n),
+                                           dtype=np.uint32)))
+    got = DN.dist_ntt(Fr, mesh, x, w)
+    perm = DN.transposed_perm(n, 8)
+    ref = N.ntt(Fr, x, w, layout="simple")[..., perm]
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+    back = DN.dist_intt(Fr, mesh, got, w)
+    assert np.array_equal(np.asarray(back), np.asarray(x))

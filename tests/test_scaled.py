@@ -268,3 +268,84 @@ def test_scaled_larger_domain():
     assert bool(diags.all_ok())
     vk = PS.make_vk_scaled(ctx, selectors, copies)
     assert PS.verify_scaled(ctx, vk, proof, CH)
+
+
+def test_verify_many_batched(small_setup):
+    """Batched verification (shared final exponentiation): all lanes of a
+    valid batch accept; a tampered lane rejects ONLY that lane."""
+    ctx, selectors, copies, wit, proof, _, fn, _ = small_setup
+    vk = PS.make_vk_scaled(ctx, selectors, copies)
+    chs = np.stack([CH,
+                    np.array([777, 888, 999, 1234, 4321], dtype=np.uint32),
+                    np.array([12, 34, 56, 78, 90], dtype=np.uint32)])
+    proofs = []
+    for i in range(3):
+        p, d = fn(jnp.asarray(chs[i]), jnp.asarray(RND))
+        assert bool(d.all_ok())
+        proofs.append(p)
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *proofs)
+    ok = PS.verify_scaled_many(ctx, vk, batch, chs)
+    assert ok.shape == (3,) and bool(jnp.all(ok))
+    # tamper lane 1 only
+    bad = batch._replace(a_z=batch.a_z.at[1].set((batch.a_z[1] + 1) % R))
+    ok2 = PS.verify_scaled_many(ctx, vk, bad, chs)
+    assert list(np.asarray(ok2)) == [True, False, True]
+    # single-proof path still agrees with the batched path
+    assert PS.verify_scaled(ctx, vk, proofs[0], chs[0])
+
+
+def test_public_inputs_prove_verify():
+    """PI(x) as a first-class vector (the reference hardcodes PI = 0,
+    src/plonk.h:396-398): row 0 becomes a public-input binding
+    q_l*a + PI = 0; the verifier must receive the same PI values."""
+    n = 8
+    ctx = PS.scaled_new(n, secret=111222333)
+    selectors, copies, a, b, c = square_chain_circuit(R, n, x0=5)
+    sel = np.array(selectors, dtype=np.uint32).copy()
+    # row 0: bind a[0] publicly: q_l = 1, everything else 0
+    sel[:, 0] = 0
+    sel[0, 0] = 1
+    pi = np.zeros(n, dtype=np.uint32)
+    pi[0] = (R - int(a[0])) % R        # PI_0 = -a_0
+    prover = PS.make_prover(ctx, sel, copies)
+    proof, diags = prover(a, b, c, CH, RND, public_inputs=pi)
+    assert bool(diags.all_ok())
+    vk = PS.make_vk_scaled(ctx, sel, copies)
+    assert PS.verify_scaled(ctx, vk, proof, CH, public_inputs=pi)
+    # wrong public input -> reject
+    pi_bad = pi.copy()
+    pi_bad[0] = (int(pi[0]) + 1) % R
+    assert not PS.verify_scaled(ctx, vk, proof, CH, public_inputs=pi_bad)
+    # prover with PI inconsistent with witness -> witness check trips
+    _, dbad = prover(a, b, c, CH, RND, public_inputs=pi_bad)
+    assert not bool(dbad.satisfied)
+    # FS path with public inputs
+    from plonk_tpu.models import fiat_shamir as FS
+    fsp = FS.ScaledFsProver(ctx, sel, copies)
+    out, fdiags = fsp.prove(a, b, c, RND, public_inputs=pi)
+    assert bool(fdiags.all_ok())
+    assert FS.verify_scaled_fs(ctx, fsp.vk, out, public_inputs=pi)
+    assert not FS.verify_scaled_fs(ctx, fsp.vk, out, public_inputs=pi_bad)
+
+
+def test_checked_prover_lane():
+    """checkify lane: accepts a valid instance, raises on out-of-bounds
+    copy indices and on an unsatisfied witness (the reference aborts the
+    process at asserts; here the violations surface as checked errors)."""
+    from jax.experimental import checkify
+    n = 8
+    ctx = PS.scaled_new(n, secret=445566)
+    selectors, copies, a, b, c = square_chain_circuit(R, n, x0=4)
+    proof, diags = PS.prove_scaled_checked(ctx, selectors, copies, a, b, c,
+                                           CH, RND)
+    assert bool(diags.all_ok())
+    bad_copies = np.array(copies).copy()
+    bad_copies[0, 3, 1] = n + 7          # 1-based index out of range
+    with pytest.raises(Exception, match="copy index out of range"):
+        PS.prove_scaled_checked(ctx, selectors, bad_copies, a, b, c, CH,
+                                RND)
+    a_bad = np.array(a, dtype=np.uint32).copy()
+    a_bad[1] ^= 1
+    with pytest.raises(Exception, match="witness does not satisfy"):
+        PS.prove_scaled_checked(ctx, selectors, copies, a_bad, b, c, CH,
+                                RND)

@@ -132,3 +132,60 @@ def test_pippenger_jacobian_matches_affine():
     aff_s = MSM.msm_pippenger(Ms, pts_s, sc_s, window_bits=7, scalar_bits=27)
     jac_s = msm_pippenger_jac(Ms, pts_s, sc_s, window_bits=7, scalar_bits=27)
     assert bool(C.g1_equal(aff_s, jac_s))
+
+
+def test_fixed_base_matches_naive_toy():
+    """Gather-MSM against a precomputed window table == naive fold,
+    including multi-window scalars whose table entries wrap the order-17
+    subgroup back to the identity (d * 2^shift = 0 mod 17)."""
+    from plonk_tpu.ops import fixed_base as FB
+    rng = np.random.default_rng(7)
+    g = C.g1_generator(CV, Fq)
+    for n, wb, sb in [(1, 5, 5), (7, 5, 5), (33, 4, 16), (100, 3, 16)]:
+        base_scalars = rng.integers(1, 17, size=n, dtype=np.uint32)
+        pts = C.g1_mul(Fq, g, jnp.asarray(base_scalars))
+        tbl = FB.build_fixed_base_table(Fq, pts, wb, sb)
+        scalars = jnp.asarray(rng.integers(0, 1 << sb, size=n,
+                                           dtype=np.uint32))
+        fast = FB.msm_fixed_base(Fq, tbl, scalars)
+        naive = S.srs_commit_naive(Fq, pts, scalars, scalar_bits=sb)
+        assert bool(C.g1_equal(fast, naive)), (n, wb, sb)
+
+
+def test_fixed_base_with_infinity_points():
+    from plonk_tpu.ops import fixed_base as FB
+    g = C.g1_generator(CV, Fq)
+    pts = C.g1_mul(Fq, g, jnp.asarray([1, 0, 3, 0], dtype=jnp.uint32))
+    tbl = FB.build_fixed_base_table(Fq, pts, 5, 5)
+    scalars = jnp.asarray([5, 9, 2, 7], dtype=jnp.uint32)
+    fast = FB.msm_fixed_base(Fq, tbl, scalars)
+    naive = S.srs_commit_naive(Fq, pts, scalars)
+    assert bool(C.g1_equal(fast, naive))
+
+
+def test_fixed_base_scaled_curve_batched():
+    """Fixed-base == Jacobian Pippenger on the scaled pairing curve with
+    full-width 27-bit scalars; batched variant covers the vmapped path
+    the prover's 9 commitments use."""
+    from plonk_tpu.ops import fixed_base as FB
+    from plonk_tpu.ops.msm import msm_pippenger_jac
+    from plonk_tpu.ops.field import MontField
+    from plonk_tpu.utils.params import SCALED_CURVE, SCALED_FQ
+    rng = np.random.default_rng(11)
+    Ms = MontField(SCALED_FQ)
+    gs = C.g1_generator(SCALED_CURVE, Ms)
+    n = 40
+    pts = C.g1_mul(Ms, gs, jnp.asarray(
+        rng.integers(1, SCALED_CURVE.r, size=n, dtype=np.uint32)), nbits=27)
+    bits = SCALED_CURVE.r.bit_length()
+    tbl = FB.build_fixed_base_table(Ms, pts, 7, bits)
+    sc = np.asarray(rng.integers(0, SCALED_CURVE.r, size=(3, n),
+                                 dtype=np.uint32))
+    sc[0, 0] = 0
+    sc = jnp.asarray(sc)
+    batch = FB.msm_fixed_base_many(Ms, tbl, sc)
+    for i in range(3):
+        ref = msm_pippenger_jac(Ms, pts, sc[i], window_bits=9,
+                                scalar_bits=bits)
+        got = C.G1(batch.x[i], batch.y[i], batch.inf[i])
+        assert bool(C.g1_equal(got, ref)), i

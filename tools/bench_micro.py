@@ -1,0 +1,94 @@
+"""TPU microbench: fixed-base MSM paths + fused NTT + scaled prover."""
+import time, json, sys
+import numpy as np
+import jax, jax.numpy as jnp
+from plonk_tpu.models import plonk_scaled as PS
+from plonk_tpu.models.synthetic import square_chain_circuit
+from plonk_tpu.utils.params import SCALED_FR, BABYBEAR
+from plonk_tpu.ops.field import MontField
+
+print("backend:", jax.default_backend(), flush=True)
+
+
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_commit_paths(log_n=16):
+    from plonk_tpu.ops import fixed_base as FB
+    n = 1 << log_n
+    ctx = PS.scaled_new(n)
+    t0 = time.perf_counter()
+    tbl = PS.fixed_base_table(ctx)
+    print(f"table build {log_n}: {time.perf_counter()-t0:.1f}s "
+          f"wb={tbl.window_bits}", flush=True)
+    rng = np.random.default_rng(0)
+    sc = jnp.asarray(rng.integers(0, SCALED_FR.p, size=(9, n + 6),
+                                  dtype=np.uint32))
+    for mode in ("select", "gather"):
+        fn = jax.jit(lambda tx, ty, ti, s: FB.msm_fixed_base_many(
+            ctx.Fq, FB.FixedBaseTable(tx, ty, ti, tbl.window_bits), s,
+            mode=mode))
+        try:
+            dt = timeit(lambda s: fn(tbl.x, tbl.y, tbl.inf, s), sc)
+            print(json.dumps({"commit9_mode": mode, "log_n": log_n,
+                              "ms": round(dt * 1000, 2)}), flush=True)
+        except Exception as e:
+            print(f"{mode} failed: {str(e)[:150]}", flush=True)
+    return ctx
+
+
+def bench_fused_ntt(log_n=20):
+    from plonk_tpu.ops import fused_ntt as FN
+    from plonk_tpu.ops import ntt as N
+    M = MontField(BABYBEAR)
+    n = 1 << log_n
+    w = BABYBEAR.root_of_unity(n)
+    rng = np.random.default_rng(0)
+    x = M.encode(np.asarray(rng.integers(0, M.p, size=n, dtype=np.uint32)))
+    f1 = jax.jit(lambda v: FN.fused_ntt(M, v, w))
+    f2 = jax.jit(lambda v: FN.fused_ntt_natural(M, v, w))
+    f3 = jax.jit(lambda v: N.ntt(M, v, w))
+    out = f2(x)
+    ref = jax.jit(lambda v: N.ntt(M, v, w, layout="simple"))(x)
+    ok = bool(jnp.array_equal(out, ref))
+    print(json.dumps({
+        "fused_scrambled_ms": round(timeit(f1, x) * 1000, 3),
+        "fused_natural_ms": round(timeit(f2, x) * 1000, 3),
+        "blocked_ms": round(timeit(f3, x) * 1000, 3),
+        "parity_ok": ok,
+        "fused_natural_elems_per_s": round(n / timeit(f2, x), 0),
+    }), flush=True)
+
+
+def bench_prover(ctx, log_n=16):
+    n = 1 << log_n
+    sel, copies, a, b, c = square_chain_circuit(SCALED_FR.p, n)
+    ch = np.array([1111, 2222, 3333, 4444, 5555], dtype=np.uint32)
+    rnd = np.arange(1, 10, dtype=np.uint32)
+    t0 = time.perf_counter()
+    prover = PS.make_prover(ctx, sel, copies)
+    out = prover(a, b, c, ch, rnd)
+    jax.block_until_ready(out)
+    print(f"prove compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+    proof, diags = out
+    assert bool(diags.all_ok())
+    dt = timeit(lambda: prover(a, b, c, ch, rnd), reps=5)
+    print(json.dumps({"prove_log_n": log_n,
+                      "ms_per_proof": round(dt * 1000, 2),
+                      "proofs_per_s": round(1 / dt, 2)}), flush=True)
+
+
+which = sys.argv[1] if len(sys.argv) > 1 else "all"
+if which in ("all", "ntt"):
+    bench_fused_ntt()
+if which in ("all", "msm", "prove"):
+    ctx = bench_commit_paths(16)
+    if which in ("all", "prove"):
+        bench_prover(ctx, 16)
