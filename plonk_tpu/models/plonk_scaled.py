@@ -180,7 +180,9 @@ def fixed_base_table(ctx: ScaledContext):
     compile-time constant instead of per-call graph ops."""
     tbl = getattr(ctx, "_fb_table", None)
     if tbl is None:
-        from ..ops.fixed_base import build_fixed_base_table, pick_window_bits
+        from ..ops.fixed_base import (FixedBaseTable,
+                                      build_fixed_base_table,
+                                      pick_window_bits)
         with jax.ensure_compile_time_eval():
             Fq = ctx.Fq
             L = ctx.srs.length
@@ -188,18 +190,63 @@ def fixed_base_table(ctx: ScaledContext):
             pts = G1(g1s.x[:L], g1s.y[:L], g1s.inf[:L])
             bits = ctx.params.field.p.bit_length()
             wb = pick_window_bits(L, bits)
-            # jit the whole build: eagerly it is thousands of small
-            # dispatches (ruinous through the TPU tunnel's ~2.5ms launch
-            # latency — measured 253s vs ~2s jitted at 2^14)
-            tbl = jax.jit(lambda p: build_fixed_base_table(
-                Fq, p, wb, bits))(pts)
-            # jit arrays every output leaf; window_bits is static metadata
-            tbl = tbl._replace(window_bits=wb)
+            cached = _fb_disk_load(ctx, pts, wb)
+            if cached is not None:
+                tbl = cached
+            else:
+                # jit the whole build: eagerly it is thousands of small
+                # dispatches (ruinous through the TPU tunnel's ~2.5ms
+                # launch latency — measured 253s vs jitted at 2^14); the
+                # result is disk-cached per SRS (the on-chip build is
+                # still ~3min at 2^16)
+                tbl = jax.jit(lambda p: build_fixed_base_table(
+                    Fq, p, wb, bits))(pts)
+                # jit arrays every output leaf; window_bits is static
+                tbl = tbl._replace(window_bits=wb)
+                _fb_disk_save(ctx, pts, wb, tbl)
         tbl = jax.tree_util.tree_map(
             lambda a: a if isinstance(a, int) else jax.block_until_ready(a),
             tbl)
         object.__setattr__(ctx, "_fb_table", tbl)
     return tbl
+
+
+def _fb_cache_path(ctx, pts, wb):
+    import hashlib
+    import os
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray(pts.x).tobytes())
+    h.update(np.asarray(pts.y).tobytes())
+    h.update(np.asarray(pts.inf).tobytes())
+    h.update(str((ctx.params.field.p, ctx.params.curve.base.p, wb)).encode())
+    root = os.environ.get("PLONK_TPU_CACHE",
+                          os.path.expanduser("~/.cache/plonk_tpu"))
+    return os.path.join(root, f"fbtable_{h.hexdigest()}.npz")
+
+
+def _fb_disk_load(ctx, pts, wb):
+    import os
+    from ..ops.fixed_base import FixedBaseTable
+    path = _fb_cache_path(ctx, pts, wb)
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        return FixedBaseTable(x=jnp.asarray(z["x"]), y=jnp.asarray(z["y"]),
+                              inf=jnp.asarray(z["inf"]), window_bits=wb)
+    except Exception:
+        return None
+
+
+def _fb_disk_save(ctx, pts, wb, tbl):
+    import os
+    path = _fb_cache_path(ctx, pts, wb)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, x=np.asarray(tbl.x), y=np.asarray(tbl.y),
+                 inf=np.asarray(tbl.inf))
+    except Exception:
+        pass  # cache is best-effort
 
 
 def table_commit(ctx: ScaledContext, table):

@@ -127,13 +127,10 @@ def msm(F, pts: G1, scalars: jnp.ndarray, window_bits: int = 5,
     return msm_pippenger(F, pts, scalars, window_bits, scalar_bits)
 
 
-# TODO(next round): _seg_scan_add uses lax.associative_scan, which unrolls
-# log2(n) levels of the EC-add combine into the graph — at 2^16+ points the
-# XLA graph (and compile time) grows into the hundreds of thousands of ops.
-# Replace with a chunked segmented scan: reshape the sorted points to
-# (chunks, chunk_len), run ONE rolled lax.scan of length chunk_len
-# vectorized across chunks, then stitch chunk boundaries with a small scan.
-# Compile size becomes O(chunk body), runtime stays vectorized.
+# Graph-size note: _seg_scan_add (associative_scan) unrolls log2(n) levels
+# of the EC-add combine into the XLA graph. The Jacobian hot path uses the
+# chunked rolled variant below instead (ONE rolled scan body + a small
+# chunk-stitch loop — O(1) graph size, O(n) work vs associative_scan's 2n).
 
 
 # ---------------- Jacobian-coordinate MSM (hot path) ----------------
@@ -161,6 +158,70 @@ def _seg_scan_add_jac(F, pts: G1J, starts: jnp.ndarray) -> G1J:
     return G1J(X, Y, Z)
 
 
+def _seg_scan_add_jac_chunked(F, pts: G1J, starts: jnp.ndarray,
+                              n_chunks: int = 1024) -> G1J:
+    """Chunked segmented inclusive EC-prefix-sum: reshape to
+    (n_chunks, clen), run ONE rolled lax.scan of length clen vectorized
+    across chunks, then stitch chunk boundaries with a small rolled loop.
+    Identical outputs to _seg_scan_add_jac with O(1) graph size (the
+    associative_scan unrolls log2(n) jac_add combine levels)."""
+    n = pts.X.shape[0]
+    n_chunks = min(n_chunks, n)
+    while n % n_chunks:
+        n_chunks -= 1
+    clen = n // n_chunks
+    shape = (n_chunks, clen)
+    Xc = pts.X.reshape(shape)
+    Yc = pts.Y.reshape(shape)
+    Zc = pts.Z.reshape(shape)
+    Sc = starts.reshape(shape)
+
+    def step(carry, col):
+        acc, seen = carry                       # per-chunk running state
+        x, y, z, s = col
+        pt = G1J(x, y, z)
+        acc = _sel_jac(s, pt, jac_add(F, acc, pt))
+        seen = jnp.logical_or(seen, s)
+        return (acc, seen), (acc, seen)
+
+    ident = G1J.identity(F, (n_chunks,))
+    (_, _), (scan_pts, seen) = jax.lax.scan(
+        step, (ident, jnp.zeros((n_chunks,), jnp.bool_)),
+        (Xc.T, Yc.T, Zc.T, Sc.T))
+    # scan over columns: outputs are (clen, n_chunks)
+    l_last = G1J(scan_pts.X[-1], scan_pts.Y[-1], scan_pts.Z[-1])
+    seen_last = seen[-1]
+
+    # exclusive segmented scan over the n_chunks chunk-summaries (rolled)
+    def stitch(i, carry_arr):
+        prev = G1J(carry_arr.X[i - 1], carry_arr.Y[i - 1],
+                   carry_arr.Z[i - 1])
+        cur_in = G1J(l_last.X[i - 1], l_last.Y[i - 1], l_last.Z[i - 1])
+        # carry into chunk i = chunk (i-1) tail sum, plus the carry into
+        # chunk (i-1) if chunk (i-1) contains no segment start
+        tot = _sel_jac(seen_last[i - 1], cur_in,
+                       jac_add(F, prev, cur_in))
+        return G1J(carry_arr.X.at[i].set(tot.X),
+                   carry_arr.Y.at[i].set(tot.Y),
+                   carry_arr.Z.at[i].set(tot.Z))
+
+    carries = jax.lax.fori_loop(1, n_chunks, stitch,
+                                G1J.identity(F, (n_chunks,)))
+    # add the chunk carry to positions before the chunk's first start
+    with_carry = jac_add(F, G1J(carries.X[None, :], carries.Y[None, :],
+                                carries.Z[None, :]), scan_pts)
+    out = _sel_jac(seen, scan_pts, with_carry)
+    X = out.X.T.reshape(n)
+    Y = out.Y.T.reshape(n)
+    Z = out.Z.T.reshape(n)
+    return G1J(X, Y, Z)
+
+
+def _sel_jac(mask, a: G1J, b: G1J) -> G1J:
+    return G1J(jnp.where(mask, a.X, b.X), jnp.where(mask, a.Y, b.Y),
+               jnp.where(mask, a.Z, b.Z))
+
+
 def _window_buckets_jac(F, pts: G1J, digits: jnp.ndarray,
                         n_buckets: int) -> G1J:
     n = digits.shape[0]
@@ -168,7 +229,10 @@ def _window_buckets_jac(F, pts: G1J, digits: jnp.ndarray,
     sd = digits[order]
     sp = G1J(pts.X[order], pts.Y[order], pts.Z[order])
     starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), sd[1:] != sd[:-1]])
-    scanned = _seg_scan_add_jac(F, sp, starts)
+    if n >= 4096:
+        scanned = _seg_scan_add_jac_chunked(F, sp, starts)
+    else:
+        scanned = _seg_scan_add_jac(F, sp, starts)
     is_end = jnp.concatenate([sd[:-1] != sd[1:], jnp.ones((1,), jnp.bool_)])
     write_idx = jnp.where(is_end, sd.astype(jnp.int32), n_buckets)
     ident = G1J.identity(F)

@@ -189,3 +189,29 @@ def test_fixed_base_scaled_curve_batched():
                                 scalar_bits=bits)
         got = C.G1(batch.x[i], batch.y[i], batch.inf[i])
         assert bool(C.g1_equal(got, ref)), i
+
+
+def test_chunked_segmented_scan_matches_associative():
+    """The chunked rolled segmented EC-scan (O(1) graph size) must equal
+    the associative_scan path element-for-element, across segment layouts
+    incl. segments spanning many chunk boundaries."""
+    from plonk_tpu.ops.msm import (_seg_scan_add_jac,
+                                   _seg_scan_add_jac_chunked)
+    from plonk_tpu.ops.curve import jac_from_affine
+    rng = np.random.default_rng(21)
+    g = C.g1_generator(CV, Fq)
+    n = 256
+    pts = C.g1_mul(Fq, g, jnp.asarray(rng.integers(1, 17, size=n,
+                                                   dtype=np.uint32)))
+    jp = jac_from_affine(Fq, pts)
+    for seed, p_start in [(0, 0.5), (1, 0.02), (2, 0.9)]:
+        r2 = np.random.default_rng(seed)
+        starts = r2.random(n) < p_start
+        starts[0] = True
+        sj = jnp.asarray(starts)
+        ref = _seg_scan_add_jac(Fq, jp, sj)
+        got = _seg_scan_add_jac_chunked(Fq, jp, sj, n_chunks=16)
+        # compare as affine points (Jacobian coords are not unique)
+        from plonk_tpu.ops.curve import jac_to_affine
+        ra, ga = jac_to_affine(Fq, ref), jac_to_affine(Fq, got)
+        assert bool(jnp.all(C.g1_equal(ra, ga))), (seed, p_start)

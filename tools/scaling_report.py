@@ -78,6 +78,54 @@ def main():
     }
     print(json.dumps(report, indent=2))
 
+    # ---- PROVER-level scaling: the full sharded prove_scaled ----
+    # (VERDICT round-1 item 1: efficiency of the wired-in distributed
+    # kernels, not just the standalone NTT.)
+    from plonk_tpu.models import plonk_scaled as PS
+    from plonk_tpu.models.synthetic import square_chain_circuit
+    from plonk_tpu.parallel import dist_prover as DP
+    from plonk_tpu.utils.params import SCALED_FR
+
+    logn_p = min(args.logn, 10 if args.backend == "cpu" else args.logn)
+    n_p = 1 << logn_p
+    ctx = PS.scaled_new(n_p, secret=987651234)
+    sel, cps, a, b, c = square_chain_circuit(SCALED_FR.p, n_p, x0=5)
+    ch = np.array([1111, 2222, 3333, 4444, 5555], dtype=np.uint32)
+    rnd = np.arange(1, 10, dtype=np.uint32)
+    argsj = tuple(jnp.asarray(x) for x in (sel, cps, a, b, c))
+
+    presults = {}
+    d = 1
+    while d <= min(args.devices, len(devs)):
+        mesh = Mesh(np.array(devs[:d]), ("sp",))
+        prims = DP.make_dist_prims(ctx, mesh) if d > 1 else None
+        fn = jax.jit(lambda chv, rnv: PS.prove_scaled(
+            ctx, *argsj, chv, rnv, prims=prims))
+        out = fn(ch, rnd)
+        jax.block_until_ready(out[0].r_z)
+        assert bool(out[1].all_ok()), f"prover diags failed at d={d}"
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = fn(ch, rnd)
+        jax.block_until_ready(out[0].r_z)
+        presults[d] = (time.perf_counter() - t0) / reps
+        d *= 2
+
+    pbase = presults[1]
+    report = {
+        "metric": "sharded_prove_scaled_seconds",
+        "backend": args.backend,
+        "n_gates": n_p,
+        "seconds": {str(k): round(val, 4) for k, val in presults.items()},
+        "speedup_vs_1dev": {
+            str(k): round(pbase / val, 3) for k, val in presults.items()},
+        "efficiency_vs_1dev": {
+            str(k): round(pbase / val / k, 3)
+            for k, val in presults.items()},
+    }
+    print(json.dumps(report, indent=2))
+
 
 if __name__ == "__main__":
     main()
