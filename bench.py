@@ -87,6 +87,26 @@ def bench_ntt(log_n: int = 20):
     return n / secs
 
 
+def bench_ntt_batched(log_n: int = 20, batch: int = 8):
+    """Throughput-mode NTT: a batched stack per launch (amortizes the
+    ~3 ms per-dispatch tunnel floor that dominates single-transform
+    timings — measured in tools/tpu_calibrate.py)."""
+    import jax
+    from plonk_tpu.utils.params import BABYBEAR
+    from plonk_tpu.ops.field import MontField
+    from plonk_tpu.ops.fused_ntt import fused_ntt_natural
+
+    M = MontField(BABYBEAR)
+    n = 1 << log_n
+    w = BABYBEAR.root_of_unity(n)
+    rng = np.random.default_rng(0)
+    x = M.encode(np.asarray(rng.integers(0, M.p, size=(batch, n),
+                                         dtype=np.uint32)))
+    fn = jax.jit(lambda v: fused_ntt_natural(M, v, w))
+    secs, _ = _timeit(fn, x)
+    return batch * n / secs
+
+
 def bench_ntt_bn254(log_n: int = 16):
     """254-bit (8x u32 limb) NTT over BN254-Fr — the multi-limb field
     lane (ops/bigfield.py)."""
@@ -212,6 +232,11 @@ def main():
             bench_scaled_prover(log_n), 3)
     except Exception as e:
         extras["scaled_error"] = str(e)[:200]
+    try:
+        extras["ntt_babybear_2e20_batch8_elems_per_s"] = round(
+            bench_ntt_batched(), 1)
+    except Exception as e:
+        extras["ntt_batched_error"] = str(e)[:200]
     try:
         extras["ntt_bn254_2e16_elems_per_s"] = round(bench_ntt_bn254(), 1)
     except Exception as e:

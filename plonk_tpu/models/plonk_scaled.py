@@ -392,15 +392,33 @@ def fused_prims() -> ProverPrims:
         perm8=lambda tbl: tbl[np.asarray(FN.scrambled_perm(len(tbl)))])
 
 
+def mxu_prims() -> ProverPrims:
+    """Single-chip prims with the 8n coset stack on the int8 MXU matmul
+    NTT (ops/mxu_ntt.py) in its transposed layout."""
+    from ..ops import mxu_ntt as MX
+    return ProverPrims(
+        intt_n=lambda F, x, w: N.intt(F, x, w),
+        ntt8=lambda F, x, w: MX.mxu_ntt(F, x, w),
+        intt8=lambda F, x, w: MX.mxu_intt(F, x, w),
+        grand_product=_local_grand_product,
+        commit_many=_commit_many,
+        perm8=lambda tbl: tbl[np.asarray(MX.mxu_perm(len(tbl)))])
+
+
 def _auto_prims(ctx: ScaledContext) -> ProverPrims:
+    """PLONK_TPU_NTT=blocked|fused|mxu overrides; default: fused on
+    accelerators for large domains, blocked elsewhere."""
     import os
-    flag = os.environ.get("PLONK_TPU_FUSED")
-    if flag == "1":
+    flag = os.environ.get("PLONK_TPU_NTT")
+    if flag == "fused" or os.environ.get("PLONK_TPU_FUSED") == "1":
         return fused_prims()
-    if flag == "0":
+    if flag == "mxu":
+        return mxu_prims()
+    if flag == "blocked" or os.environ.get("PLONK_TPU_FUSED") == "0":
         return default_prims()
-    if jax.default_backend() != "cpu" and ctx.domain8 >= (1 << 16):
-        return fused_prims()
+    # measured at 2^16 gates on-chip (round 2): field side 20.7 ms blocked
+    # vs 23.5 fused vs 38.1 mxu -> blocked is the prover default; the
+    # fused/mxu paths remain for standalone transforms and future tuning
     return default_prims()
 
 

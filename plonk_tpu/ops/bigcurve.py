@@ -1,0 +1,277 @@
+"""Elliptic-curve kernels over multi-limb fields (BN254-class G1).
+
+The toy/scaled curve kernels (ops/curve.py) run on single-u32 coordinates;
+these are the same branchless masked-lane formulas lifted to BigMontField
+elements (trailing 16-bit-limb axis, ops/bigfield.py): selects broadcast
+the lane mask over the limb axis, equality/zero tests reduce over it.
+Jacobian coordinates only — at 254 bits an affine add's Fermat inversion
+is ~250 field muls, so the inversion-free formulas are not optional.
+
+Curve constants (arkworks/gnark standard): BN254 G1 is y^2 = x^3 + 3 over
+Fq with generator (1, 2) and prime order r = BN254_FR.p.
+
+Reference lineage: src/g1.h (affine, branchy, 8-bit) — re-designed rather
+than ported, same as ops/curve.py (SURVEY §2.1 row 5).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .bigfield import BigMontField
+from ..utils.params import FieldParams
+
+U32 = jnp.uint32
+
+# BN254 base field (Fq) — the coordinates field; BN254_FR is the scalar.
+BN254_FQ = FieldParams(
+    p=21888242871839275222246405745257275088696311157297823662689037894645226208583,
+    name="BN254-Fq", generator=3, two_adicity=1)
+
+BN254_G1_GEN = (1, 2)
+BN254_B = 3
+
+
+class BigG1J(NamedTuple):
+    """Jacobian point batch over a BigMontField: arrays (..., limbs);
+    Z == 0 encodes infinity."""
+    X: jnp.ndarray
+    Y: jnp.ndarray
+    Z: jnp.ndarray
+
+    @staticmethod
+    def identity(F: BigMontField, shape=()):
+        one = jnp.broadcast_to(F.const(1), tuple(shape) + (F.limbs,))
+        return BigG1J(one, one, jnp.zeros(tuple(shape) + (F.limbs,), U32))
+
+
+def _sel(mask, a, b):
+    return jnp.where(mask[..., None], a, b)
+
+
+def _sel_pt(mask, a: BigG1J, b: BigG1J) -> BigG1J:
+    return BigG1J(_sel(mask, a.X, b.X), _sel(mask, a.Y, b.Y),
+                  _sel(mask, a.Z, b.Z))
+
+
+def big_jac_double(F: BigMontField, p: BigG1J) -> BigG1J:
+    """2P for a = 0 short-Weierstrass curves (the BN254 family)."""
+    A = F.square(p.X)
+    B = F.square(p.Y)
+    Cc = F.square(B)
+    t = F.add(p.X, B)
+    D = F.add(F.sub(F.square(t), F.add(A, Cc)),
+              F.sub(F.square(t), F.add(A, Cc)))
+    E = F.add(F.add(A, A), A)
+    Ff = F.square(E)
+    X3 = F.sub(Ff, F.add(D, D))
+    Y3 = F.sub(F.mont_mul(E, F.sub(D, X3)),
+               _mul8(F, Cc))
+    Z3 = F.add(F.mont_mul(p.Y, p.Z), F.mont_mul(p.Y, p.Z))
+    return BigG1J(X3, Y3, Z3)
+
+
+def _mul8(F, a):
+    t = F.add(a, a)
+    t = F.add(t, t)
+    return F.add(t, t)
+
+
+def big_jac_add(F: BigMontField, p: BigG1J, q: BigG1J) -> BigG1J:
+    """Complete-ish Jacobian addition with masked identity/double/inverse
+    handling (mirrors ops/curve.jac_add over limb elements)."""
+    Z1Z1 = F.square(p.Z)
+    Z2Z2 = F.square(q.Z)
+    U1 = F.mont_mul(p.X, Z2Z2)
+    U2 = F.mont_mul(q.X, Z1Z1)
+    S1 = F.mont_mul(p.Y, F.mont_mul(q.Z, Z2Z2))
+    S2 = F.mont_mul(q.Y, F.mont_mul(p.Z, Z1Z1))
+    H = F.sub(U2, U1)
+    r = F.sub(S2, S1)
+
+    HH = F.square(H)
+    HHH = F.mont_mul(H, HH)
+    V = F.mont_mul(U1, HH)
+    rr = F.square(r)
+    X3 = F.sub(F.sub(rr, HHH), F.add(V, V))
+    Y3 = F.sub(F.mont_mul(r, F.sub(V, X3)), F.mont_mul(S1, HHH))
+    Z3 = F.mont_mul(F.mont_mul(p.Z, q.Z), H)
+    gen = BigG1J(X3, Y3, Z3)
+
+    dbl = big_jac_double(F, p)
+
+    p_inf = F.is_zero(p.Z)
+    q_inf = F.is_zero(q.Z)
+    both = jnp.logical_and(~p_inf, ~q_inf)
+    same_x = jnp.logical_and(F.is_zero(H), both)
+    same_pt = jnp.logical_and(same_x, F.is_zero(r))
+    inverse = jnp.logical_and(same_x, ~F.is_zero(r))
+
+    out = _sel_pt(same_pt, dbl, gen)
+    out = BigG1J(out.X, out.Y,
+                 _sel(inverse, jnp.zeros_like(out.Z), out.Z))
+    out = _sel_pt(p_inf, q, out)
+    out = _sel_pt(q_inf, p, out)
+    return out
+
+
+def big_jac_mul(F: BigMontField, base: BigG1J, scalar_bits,
+                nbits: int) -> BigG1J:
+    """Masked double-and-add ladder; scalar_bits is a (..., nbits) uint32
+    0/1 array, LSB first (254-bit scalars don't fit machine ints)."""
+    shape = base.X.shape[:-1]
+    acc = BigG1J.identity(F, shape)
+    cur = base
+
+    def body(i, carry):
+        acc, cur = carry
+        bit = scalar_bits[..., i] == 1
+        acc = _sel_pt(bit, big_jac_add(F, acc, cur), acc)
+        return acc, big_jac_double(F, cur)
+
+    acc, _ = jax.lax.fori_loop(0, nbits, body, (acc, cur))
+    return acc
+
+
+def scalar_to_bits(s: int, nbits: int) -> np.ndarray:
+    return np.array([(s >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+
+
+def big_to_affine(F: BigMontField, p: BigG1J):
+    """-> (x, y, inf) with Montgomery-form affine coordinates."""
+    zinv = F.inv(p.Z)
+    zi2 = F.square(zinv)
+    x = F.mont_mul(p.X, zi2)
+    y = F.mont_mul(p.Y, F.mont_mul(zi2, zinv))
+    inf = F.is_zero(p.Z)
+    return (_sel(inf, jnp.zeros_like(x), x),
+            _sel(inf, jnp.zeros_like(y), y), inf)
+
+
+def bn254_generator(F: BigMontField, shape=()) -> BigG1J:
+    gx = jnp.broadcast_to(F.const(BN254_G1_GEN[0]),
+                          tuple(shape) + (F.limbs,))
+    gy = jnp.broadcast_to(F.const(BN254_G1_GEN[1]),
+                          tuple(shape) + (F.limbs,))
+    return BigG1J(gx, gy, jnp.broadcast_to(F.const(1),
+                                           tuple(shape) + (F.limbs,)))
+
+
+def big_on_curve(F: BigMontField, x, y) -> jnp.ndarray:
+    """y^2 == x^3 + b (Montgomery-form affine coordinates)."""
+    lhs = F.square(y)
+    rhs = F.add(F.mont_mul(F.square(x), x), F.const(BN254_B))
+    return F.eq(lhs, rhs)
+
+
+# ---------------- fixed-base MSM over the big curve ----------------
+#
+# Same design as ops/fixed_base.py (window tables + streaming select +
+# tree reduce), lifted to limb coordinates. Scalars arrive as (..., nbits)
+# bit arrays or as 16-bit-word arrays (B, L, words).
+
+
+class BigFixedBaseTable(NamedTuple):
+    x: jnp.ndarray      # (n_windows, n_buckets, L, limbs) Montgomery
+    y: jnp.ndarray
+    inf: jnp.ndarray    # (n_windows, n_buckets, L)
+    window_bits: int
+
+
+def build_big_table(F: BigMontField, pts: BigG1J, window_bits: int,
+                    scalar_bits: int) -> BigFixedBaseTable:
+    """T[w][d] = d * 2^(w*wb) * pts. Everything rolled: the per-window
+    shifted bases come from a scan with an inner doubling fori_loop, the
+    d-multiples from ONE scan of adds batched over (windows, points) —
+    at 254 bits an unrolled Jacobian add is ~30k HLO ops, so loop
+    structure is what keeps the graph compilable."""
+    n_windows = -(-scalar_bits // window_bits)
+    n_buckets = 1 << window_bits
+    L = pts.X.shape[0]
+
+    def next_base(carry, _):
+        nxt = jax.lax.fori_loop(
+            0, window_bits, lambda i, q: big_jac_double(F, q), carry)
+        return nxt, carry
+
+    _, bases = jax.lax.scan(next_base, pts, None, length=n_windows)
+    bases = BigG1J(bases.X, bases.Y, bases.Z)          # (W, L, limbs)
+
+    def step(carry, _):
+        return big_jac_add(F, carry, bases), carry
+
+    _, mult = jax.lax.scan(step, bases, None, length=n_buckets - 1)
+    # mult: (n_buckets-1, W, L, limbs)
+    ax, ay, ainf = big_to_affine(F, BigG1J(mult.X, mult.Y, mult.Z))
+    ident_xy = jnp.zeros((1, n_windows, L, F.limbs), U32)
+    x = jnp.concatenate([ident_xy, ax]).swapaxes(0, 1)
+    y = jnp.concatenate([ident_xy, ay]).swapaxes(0, 1)
+    inf = jnp.concatenate([jnp.ones((1, n_windows, L), jnp.bool_),
+                           ainf]).swapaxes(0, 1)
+    return BigFixedBaseTable(x=x, y=y, inf=inf, window_bits=window_bits)
+
+
+def _big_tree_reduce(F: BigMontField, terms: BigG1J) -> BigG1J:
+    n = terms.X.shape[0]
+    m = 1 << (n - 1).bit_length() if n > 1 else 1
+    if m != n:
+        pad = BigG1J.identity(F, (m - n,))
+        terms = BigG1J(jnp.concatenate([terms.X, pad.X]),
+                       jnp.concatenate([terms.Y, pad.Y]),
+                       jnp.concatenate([terms.Z, pad.Z]))
+    while m > 1:
+        h = m // 2
+        terms = big_jac_add(
+            F, BigG1J(terms.X[:h], terms.Y[:h], terms.Z[:h]),
+            BigG1J(terms.X[h:], terms.Y[h:], terms.Z[h:]))
+        m = h
+    return BigG1J(terms.X[0], terms.Y[0], terms.Z[0])
+
+
+def big_msm_fixed_base(F: BigMontField, table: BigFixedBaseTable,
+                       scalar_words: jnp.ndarray) -> BigG1J:
+    """sum_i s_i * P_i; scalar_words (L, n_words) of 16-bit words (LSB
+    first, standard form). Streaming bucket-sweep select (no gather),
+    then a lane-parallel Jacobian tree."""
+    wb = table.window_bits
+    n_windows, n_buckets, L, limbs = table.x.shape
+    # digit w of scalar i from its 16-bit words
+    digits = []
+    for w in range(n_windows):
+        lo_bit = w * wb
+        word, off = divmod(lo_bit, 16)
+        d = scalar_words[:, word] >> off
+        if off + wb > 16 and word + 1 < scalar_words.shape[1]:
+            d = d | (scalar_words[:, word + 1] << (16 - off))
+        digits.append(d & jnp.uint32(n_buckets - 1))
+    digits = jnp.stack(digits)                     # (W, L)
+
+    d_ids = jnp.arange(n_buckets, dtype=U32)
+
+    def step(acc, inputs):
+        d, tx, ty, tinf = inputs                   # tx: (W, L, limbs)
+        ax, ay, ainf = acc
+        m = digits == d                            # (W, L)
+        ax = jnp.where(m[..., None], tx, ax)
+        ay = jnp.where(m[..., None], ty, ay)
+        ainf = jnp.where(m, tinf, ainf)
+        return (ax, ay, ainf), None
+
+    init = (jnp.zeros((n_windows, L, limbs), U32),
+            jnp.zeros((n_windows, L, limbs), U32),
+            jnp.ones((n_windows, L), jnp.bool_))
+    (gx, gy, ginf), _ = jax.lax.scan(
+        step, init, (d_ids, table.x.swapaxes(0, 1),
+                     table.y.swapaxes(0, 1), table.inf.swapaxes(0, 1)))
+    flat = (n_windows * L,)
+    one = jnp.broadcast_to(F.const(1), flat + (limbs,))
+    ginf = ginf.reshape(flat)
+    Z = jnp.where(ginf[..., None], jnp.zeros_like(one), one)
+    terms = BigG1J(jnp.where(ginf[..., None], one,
+                             gx.reshape(flat + (limbs,))),
+                   jnp.where(ginf[..., None], one,
+                             gy.reshape(flat + (limbs,))), Z)
+    return _big_tree_reduce(F, terms)

@@ -96,3 +96,58 @@ if which in ("all", "msm"):
 if which == "prove":
     ctx = bench_commit_paths(16, modes=("select",))
     bench_prover(ctx, 16)
+
+
+def bench_mxu_ntt(log_n=20):
+    from plonk_tpu.ops import mxu_ntt as MX
+    from plonk_tpu.ops import ntt as N
+    M = MontField(BABYBEAR)
+    n = 1 << log_n
+    w = BABYBEAR.root_of_unity(n)
+    rng = np.random.default_rng(0)
+    x = M.encode(np.asarray(rng.integers(0, M.p, size=n, dtype=np.uint32)))
+    f1 = jax.jit(lambda v: MX.mxu_ntt(M, v, w))
+    f2 = jax.jit(lambda v: MX.mxu_ntt_natural(M, v, w))
+    out = f2(x)
+    ref = jax.jit(lambda v: N.ntt(M, v, w, layout="simple"))(x)
+    ok = bool(jnp.array_equal(out, ref))
+    f3 = jax.jit(lambda v: MX.mxu_intt(M, MX.mxu_ntt(M, v, w), w))
+    rt_ok = bool(jnp.array_equal(f3(x), x))
+    print(json.dumps({
+        "mxu_transposed_ms": round(timeit(f1, x) * 1000, 3),
+        "mxu_natural_ms": round(timeit(f2, x) * 1000, 3),
+        "mxu_roundtrip_ms": round(timeit(f3, x) * 1000, 3),
+        "parity_ok": ok, "roundtrip_ok": rt_ok,
+        "mxu_natural_elems_per_s": round(n / timeit(f2, x), 0),
+    }), flush=True)
+
+
+if which == "mxu":
+    bench_mxu_ntt()
+
+
+def bench_field_side(log_n=16):
+    """Field-side pipeline only (commits skipped) for each NTT prim set."""
+    import os as _os
+    _os.environ["PLONK_TPU_PROFILE_SKIP_COMMITS"] = "1"
+    n = 1 << log_n
+    ctx = PS.scaled_new(n)
+    sel, copies, a, b, c = square_chain_circuit(SCALED_FR.p, n)
+    ch = np.array([1111, 2222, 3333, 4444, 5555], dtype=np.uint32)
+    rnd = np.arange(1, 10, dtype=np.uint32)
+    argsj = tuple(jnp.asarray(x) for x in (sel, copies, a, b, c))
+    for name, prims in [("blocked", PS.default_prims()),
+                        ("fused", PS.fused_prims()),
+                        ("mxu", PS.mxu_prims())]:
+        try:
+            fn = jax.jit(lambda c_, r_, pr=prims: PS.prove_scaled(
+                ctx, *argsj, c_, r_, prims=pr))
+            dt = timeit(lambda: fn(ch, rnd), reps=5)
+            print(json.dumps({"field_side_prims": name, "log_n": log_n,
+                              "ms": round(dt * 1000, 2)}), flush=True)
+        except Exception as e:
+            print(f"{name} failed: {str(e)[:150]}", flush=True)
+
+
+if which == "field":
+    bench_field_side()
