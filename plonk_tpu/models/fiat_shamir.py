@@ -48,7 +48,11 @@ def _array_bytes(a) -> bytes:
     arr = np.asarray(a)
     if arr.dtype == np.bool_:
         arr = arr.astype(np.uint64)
-    arr = arr.astype("<u8", casting="safe")
+    if not np.issubdtype(arr.dtype, np.integer):
+        raise TypeError(f"transcript absorbs integers, got {arr.dtype}")
+    # canonical: value-preserving for field elements (< 2^64); a wrap of
+    # negative inputs would still be deterministic
+    arr = arr.astype("<u8", casting="unsafe")
     header = np.asarray([arr.ndim] + list(arr.shape), dtype="<u4").tobytes()
     return header + arr.tobytes()
 

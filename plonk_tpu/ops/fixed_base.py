@@ -130,26 +130,32 @@ def _gather_terms(F, table: FixedBaseTable, scalars: jnp.ndarray) -> G1J:
     return _terms_from(F, gx, gy, ginf)
 
 
-def select_terms_many(F, table: FixedBaseTable,
-                      scalars: jnp.ndarray) -> G1J:
+def select_terms_many(F, table: FixedBaseTable, scalars: jnp.ndarray,
+                      unroll: int = 16) -> G1J:
     """(B, L) scalars -> (B, n_windows*L) Jacobian terms via a STREAMING
-    bucket sweep: one lax.scan over the bucket axis selecting into an
+    bucket sweep: a lax.scan over the bucket axis selecting into an
     accumulator. No gather op at all — the table is read exactly once,
     sequentially (HBM-streaming friendly), shared by ALL B commitments.
     TPU random gathers run element-at-a-time; this trades them for
-    n_buckets full-width selects."""
+    n_buckets full-width selects. `unroll` buckets are processed per scan
+    step (per-iteration loop overhead dominates at 512 buckets x ~30us)."""
     B = scalars.shape[0]
     n_windows, n_buckets, L = table.x.shape
     digits = _digits(table, scalars)                   # (B, W, L)
-    d_ids = jnp.arange(n_buckets, dtype=U32)
+    while n_buckets % unroll:
+        unroll //= 2
+    d_ids = jnp.arange(n_buckets, dtype=U32).reshape(-1, unroll)
+    chunk = lambda a: a.transpose(1, 0, 2).reshape(
+        (n_buckets // unroll, unroll, n_windows, L))
 
     def step(acc, inputs):
-        d, tx, ty, tinf = inputs                       # tx/ty: (W, L)
+        ds, tx, ty, tinf = inputs                      # tx: (unroll, W, L)
         ax, ay, ainf = acc
-        m = digits == d                                # (B, W, L)
-        ax = jnp.where(m, tx[None], ax)
-        ay = jnp.where(m, ty[None], ay)
-        ainf = jnp.where(m, tinf[None], ainf)
+        for u in range(unroll):
+            m = digits == ds[u]                        # (B, W, L)
+            ax = jnp.where(m, tx[u][None], ax)
+            ay = jnp.where(m, ty[u][None], ay)
+            ainf = jnp.where(m, tinf[u][None], ainf)
         return (ax, ay, ainf), None
 
     init = (jnp.zeros((B, n_windows, L), U32),
@@ -157,8 +163,7 @@ def select_terms_many(F, table: FixedBaseTable,
             jnp.ones((B, n_windows, L), jnp.bool_))
     (gx, gy, ginf), _ = jax.lax.scan(
         step, init,
-        (d_ids, table.x.transpose(1, 0, 2),
-         table.y.transpose(1, 0, 2), table.inf.transpose(1, 0, 2)))
+        (d_ids, chunk(table.x), chunk(table.y), chunk(table.inf)))
     shape = (B, n_windows * L)
     return _terms_from(F, gx.reshape(shape), gy.reshape(shape),
                        ginf.reshape(shape))

@@ -81,8 +81,7 @@ def test_identity_and_inverse_cases():
     assert _affine_of(BC.big_jac_add(F, g, neg)) is None
 
 
-@pytest.mark.parametrize("k", [5, 255, 123456789,
-                               R_ORDER - 1, R_ORDER])
+@pytest.mark.parametrize("k", [5, 123456789, R_ORDER - 1, R_ORDER])
 def test_scalar_mul(k):
     g = BC.bn254_generator(F)
     nbits = 256
@@ -100,16 +99,17 @@ def test_fixed_base_msm():
     ys = F.array([p[1] for p in pts_aff])
     ones = jnp.broadcast_to(F.const(1), (L, F.limbs))
     pts = BC.BigG1J(xs, ys, ones)
-    wb = 8
-    sbits = 64   # 64-bit scalars keep the test's table tractable on CPU;
-    # full 254-bit scalars only add windows (same code path, see
-    # test_scalar_mul for full-width ladder coverage)
-    scalars = [int.from_bytes(rng.bytes(8), "little") for _ in range(L)]
+    wb = 6   # 64 buckets; off%16 in {12, 14} exercises the cross-word
+    # digit extraction. 48-bit scalars keep the CPU test tractable; full
+    # 254-bit scalars only add windows (same code path — see
+    # test_scalar_mul for full-width ladder coverage).
+    sbits = 48
+    scalars = [int.from_bytes(rng.bytes(6), "little") for _ in range(L)]
     scalars[0] = 0
     tbl = BC.build_big_table(F, pts, wb, sbits)
-    words = np.zeros((L, 4), dtype=np.uint32)
+    words = np.zeros((L, 3), dtype=np.uint32)
     for i, s in enumerate(scalars):
-        for w in range(4):
+        for w in range(3):
             words[i, w] = (s >> (16 * w)) & 0xFFFF
     got = BC.big_msm_fixed_base(F, tbl, jnp.asarray(words))
     expect = None
