@@ -216,12 +216,14 @@ def main():
         here, "tests", "golden", "bench_baseline.json")))
     ref = baseline["reference_proofs_per_s"]
 
-    proofs_per_s = bench_prover_batch()
+    # NTT lanes first: measured 5x slower when run after the 32k-proof
+    # batch lane (device memory pressure through the tunnel)
     extras = {}
     try:
         extras["ntt_babybear_2e20_elems_per_s"] = round(bench_ntt(), 1)
     except Exception as e:  # keep the headline alive
         extras["ntt_error"] = str(e)[:200]
+    proofs_per_s = bench_prover_batch()
     try:
         extras["msm_toy_2e16_points_per_s"] = round(bench_msm(), 1)
     except Exception as e:

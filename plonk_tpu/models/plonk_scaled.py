@@ -146,29 +146,42 @@ def _coset_interp(F, evals: jnp.ndarray, inv_shift_pows: jnp.ndarray,
 
 
 def _tree_sum(F, t: jnp.ndarray) -> jnp.ndarray:
-    """Log-depth modular sum along the last axis."""
-    while t.shape[-1] > 1:
-        if t.shape[-1] % 2:
-            t = jnp.concatenate(
-                [t, jnp.zeros(t.shape[:-1] + (1,), U32)], axis=-1)
-        t = F.add(t[..., 0::2], t[..., 1::2])
+    """Log-depth modular sum along the last axis, contiguous halves
+    (interleaved [0::2]/[1::2] slicing forces strided relayouts on TPU;
+    field addition is commutative, so the reordering is exact)."""
+    L = t.shape[-1]
+    m = 1 << (L - 1).bit_length() if L > 1 else 1
+    if m != L:
+        t = jnp.concatenate(
+            [t, jnp.zeros(t.shape[:-1] + (m - L,), U32)], axis=-1)
+    while m > 1:
+        h = m // 2
+        t = F.add(t[..., :h], t[..., h:])
+        m = h
     return t[..., 0]
+
+
+def _pow_vector(F, x, L: int) -> jnp.ndarray:
+    """pows[i] = x^i for i in [0, L): binary-decomposition products —
+    log2(L) full-width contiguous multiplies (an associative_scan emits
+    strided slice levels, measured ~10x slower on TPU)."""
+    nbits = max((L - 1).bit_length(), 1)
+    idx = jnp.arange(L, dtype=U32)
+    acc = jnp.broadcast_to(F.ones(), (L,)).astype(U32)
+    cur = jnp.asarray(x, U32)
+    for j in range(nbits):
+        bit = (idx >> j) & 1
+        acc = jnp.where(bit == 1, F.mul(acc, cur), acc)
+        if j + 1 < nbits:
+            cur = F.mul(cur, cur)
+    return acc
 
 
 def _peval_fast(F, coeffs: jnp.ndarray, x) -> jnp.ndarray:
-    """Evaluate at a scalar point in O(log n) depth: power series by
-    associative scan, modular tree reduction."""
+    """Evaluate at a scalar point in O(log n) depth with contiguous
+    memory access throughout."""
     L = coeffs.shape[-1]
-    xvec = jnp.concatenate([F.ones((1,)).astype(U32),
-                            jnp.broadcast_to(jnp.asarray(x, U32), (L - 1,))])
-    pows = jax.lax.associative_scan(F.mul, xvec)
-    t = F.mul(coeffs, pows)
-    while t.shape[-1] > 1:
-        if t.shape[-1] % 2:
-            t = jnp.concatenate(
-                [t, jnp.zeros(t.shape[:-1] + (1,), U32)], axis=-1)
-        t = F.add(t[..., 0::2], t[..., 1::2])
-    return t[..., 0]
+    return _tree_sum(F, F.mul(coeffs, _pow_vector(F, x, L)))
 
 
 def fixed_base_table(ctx: ScaledContext):

@@ -60,9 +60,14 @@ class FixedBaseTable(NamedTuple):
 
 def pick_window_bits(L: int, scalar_bits: int,
                      budget_bytes: int = 2 << 30) -> int:
-    """Widest window whose table fits the memory budget (fewer windows =
-    fewer gathered points = less tree work)."""
-    for w in (9, 8, 7, 6, 5, 4):
+    """Window width for the select-sweep commit path. Narrower windows
+    stream fewer table bytes AND run fewer sweep steps (steps = 2^w,
+    per-step work ~ n_windows); wider windows only reduce the tree adds
+    (small). Override with PLONK_TPU_FB_WB."""
+    env = os.environ.get("PLONK_TPU_FB_WB")
+    if env:
+        return int(env)
+    for w in (7, 6, 5, 4):
         n_windows = -(-scalar_bits // w)
         entries = n_windows * (1 << w) * L
         if entries * 9 <= budget_bytes:   # x + y (4B each) + inf (1B)

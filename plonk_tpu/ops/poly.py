@@ -213,6 +213,22 @@ def divide_by_vanishing(F, t: jnp.ndarray, n: int):
     return q, rem
 
 
+def pow_vector(F, x, L: int) -> jnp.ndarray:
+    """pows[i] = x^i for i in [0, L): binary-decomposition products —
+    log2(L) full-width contiguous multiplies (an associative_scan over a
+    broadcast vector emits strided slice levels, ~10x slower on TPU)."""
+    nbits = max((L - 1).bit_length(), 1)
+    idx = jnp.arange(L, dtype=U32)
+    acc = jnp.broadcast_to(F.ones(), (L,)).astype(U32)
+    cur = jnp.asarray(x, U32)
+    for j in range(nbits):
+        bit = (idx >> j) & 1
+        acc = jnp.where(bit == 1, F.mul(acc, cur), acc)
+        if j + 1 < nbits:
+            cur = F.mul(cur, cur)
+    return acc
+
+
 def divide_by_linear(F, t: jnp.ndarray, c):
     """Division by (x - c) for nonzero c, fully data-parallel.
 
@@ -221,15 +237,11 @@ def divide_by_linear(F, t: jnp.ndarray, c):
     Returns (q, rem_scalar) with q of static length len(t) - 1."""
     L = t.shape[-1]
     c = jnp.asarray(c, dtype=U32)
-    cvec = jnp.concatenate([F.ones((1,)).astype(U32),
-                            jnp.broadcast_to(c, (L - 1,))])
-    cpow = jax.lax.associative_scan(F.mul, cvec)          # c^0 .. c^{L-1}
-    u = F.mul(t, cpow)
+    u = F.mul(t, pow_vector(F, c, L))
     suf = _suffix_sums(F, u)                               # suf[i] = sum_{j>=i}
     s_excl = F.sub(suf, u)                                 # sum_{j>i}
     ic = F.inv(c)
-    icvec = jnp.broadcast_to(ic, (L,))
-    icpow = jax.lax.associative_scan(F.mul, icvec)         # ic^1 .. ic^L
+    icpow = F.mul(pow_vector(F, ic, L), ic)                # ic^1 .. ic^L
     q = F.mul(s_excl, icpow)[..., :L - 1]
     rem = suf[..., 0]                                      # t(c)
     return q, rem

@@ -151,3 +151,146 @@ def bench_field_side(log_n=16):
 
 if which == "field":
     bench_field_side()
+
+
+def bench_stages(log_n=16):
+    """Ablation timing of the prover's round stages (commits skipped);
+    differences between successive chains give per-stage costs. Every
+    number includes the ~2.9 ms dispatch floor once."""
+    import os as _os
+    _os.environ["PLONK_TPU_PROFILE_SKIP_COMMITS"] = "1"
+    n = 1 << log_n
+    ctx = PS.scaled_new(n)
+    sel, copies, a, b, c = square_chain_circuit(SCALED_FR.p, n)
+    ch = np.array([1111, 2222, 3333, 4444, 5555], dtype=np.uint32)
+    rnd = np.arange(1, 10, dtype=np.uint32)
+    argsj = tuple(jnp.asarray(x) for x in (sel, copies, a, b, c))
+    prims = PS.default_prims()
+    Fr = ctx.Fr
+
+    def enc(chv):
+        e = Fr.encode(jnp.asarray(chv, jnp.uint32))
+        return [e[i] for i in range(5)]
+
+    def chain1(chv, rnv):
+        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        return st["a_x"], st["satisfied"]
+
+    def chain2(chv, rnv):
+        al, be, ga, z, v = enc(chv)
+        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        z_x, ok = PS._stage_grand_product(ctx, st, be, ga, prims)
+        return z_x, ok
+
+    def chain3(chv, rnv):
+        al, be, ga, z, v = enc(chv)
+        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        z_x, ok = PS._stage_grand_product(ctx, st, be, ga, prims)
+        q3 = PS._stage_quotient(ctx, st, z_x, al, be, ga, prims)
+        return q3["t_x"], q3["t_tail_zero"]
+
+    def chain4(chv, rnv):
+        al, be, ga, z, v = enc(chv)
+        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        z_x, ok = PS._stage_grand_product(ctx, st, be, ga, prims)
+        q3 = PS._stage_quotient(ctx, st, z_x, al, be, ga, prims)
+        q5 = PS._stage_openings(ctx, st, q3, z_x, al, be, ga, z, v)
+        return q5["w_z_x_quo"], q5["rem1"]
+
+    for name, fn in [("prep", chain1), ("(+)grand_product", chain2),
+                     ("(+)quotient", chain3), ("(+)openings", chain4)]:
+        jf = jax.jit(fn)
+        dt = timeit(lambda: jf(ch, rnd), reps=5)
+        print(json.dumps({"stage_chain": name,
+                          "ms": round(dt * 1000, 2)}), flush=True)
+
+
+if which == "stages":
+    bench_stages()
+
+
+def bench_openings_ablation(log_n=16):
+    """Sub-ablation inside the openings stage."""
+    import os as _os
+    _os.environ["PLONK_TPU_PROFILE_SKIP_COMMITS"] = "1"
+    from plonk_tpu.ops import poly as Poly
+    from plonk_tpu.models.plonk_scaled import _peval_fast
+    n = 1 << log_n
+    ctx = PS.scaled_new(n)
+    sel, copies, a, b, c = square_chain_circuit(SCALED_FR.p, n)
+    ch = np.array([1111, 2222, 3333, 4444, 5555], dtype=np.uint32)
+    rnd = np.arange(1, 10, dtype=np.uint32)
+    argsj = tuple(jnp.asarray(x) for x in (sel, copies, a, b, c))
+    prims = PS.default_prims()
+    Fr = ctx.Fr
+
+    def base(chv, rnv):
+        e = Fr.encode(jnp.asarray(chv, jnp.uint32))
+        al, be, ga, z, v = (e[i] for i in range(5))
+        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        z_x, _ = PS._stage_grand_product(ctx, st, be, ga, prims)
+        q3 = PS._stage_quotient(ctx, st, z_x, al, be, ga, prims)
+        return st, q3, z_x, (al, be, ga, z, v)
+
+    def evals_only(chv, rnv):
+        st, q3, z_x, (al, be, ga, z, v) = base(chv, rnv)
+        outs = [_peval_fast(Fr, st["a_x"], z),
+                _peval_fast(Fr, st["b_x"], z),
+                _peval_fast(Fr, st["c_x"], z),
+                _peval_fast(Fr, st["s_sigma_1"], z),
+                _peval_fast(Fr, st["s_sigma_2"], z),
+                _peval_fast(Fr, q3["t_x"], z),
+                _peval_fast(Fr, q3["z_omega_x"], z),
+                _peval_fast(Fr, q3["l_1_x"], z)]
+        return jnp.stack(outs)
+
+    def one_divide(chv, rnv):
+        st, q3, z_x, (al, be, ga, z, v) = base(chv, rnv)
+        q, rem = Poly.divide_by_linear(Fr, z_x, z)
+        return q, rem
+
+    def full(chv, rnv):
+        st, q3, z_x, (al, be, ga, z, v) = base(chv, rnv)
+        q5 = PS._stage_openings(ctx, st, q3, z_x, al, be, ga, z, v)
+        return q5["w_z_x_quo"], q5["rem1"]
+
+    for name, fn in [("quotient_base", lambda c_, r_: base(c_, r_)[1]["t_x"]),
+                     ("(+)8 pevals", evals_only),
+                     ("(+)1 divide", one_divide),
+                     ("full openings", full)]:
+        jf = jax.jit(fn)
+        dt = timeit(lambda: jf(ch, rnd), reps=5)
+        print(json.dumps({"openings_chain": name,
+                          "ms": round(dt * 1000, 2)}), flush=True)
+
+
+if which == "open":
+    bench_openings_ablation()
+
+
+def bench_wb_sweep(log_n=16):
+    from plonk_tpu.ops import fixed_base as FB
+    import os as _os
+    n = 1 << log_n
+    ctx = PS.scaled_new(n)
+    rng = np.random.default_rng(0)
+    sc = jnp.asarray(rng.integers(0, SCALED_FR.p, size=(9, n + 6),
+                                  dtype=np.uint32))
+    for wb in (5, 6, 7, 9):
+        _os.environ["PLONK_TPU_FB_WB"] = str(wb)
+        for attr in ("_fb_table",):
+            if hasattr(ctx, attr):
+                object.__delattr__(ctx, attr)
+        t0 = time.perf_counter()
+        tbl = PS.fixed_base_table(ctx)
+        build = time.perf_counter() - t0
+        fn = jax.jit(lambda tx, ty, ti, s: FB.msm_fixed_base_many(
+            ctx.Fq, FB.FixedBaseTable(tx, ty, ti, tbl.window_bits), s,
+            mode="select"))
+        dt = timeit(lambda s: fn(tbl.x, tbl.y, tbl.inf, s), sc)
+        print(json.dumps({"wb": wb, "build_s": round(build, 1),
+                          "commit9_ms": round(dt * 1000, 2)}), flush=True)
+
+
+if which == "wb":
+    bench_wb_sweep()
