@@ -375,9 +375,36 @@ class ProverPrims(NamedTuple):
     perm8: object
 
 
+def _prefix_prod_chunked(F, x: jnp.ndarray, n_chunks: int = 1024
+                         ) -> jnp.ndarray:
+    """Inclusive prefix product of a 1-D array: per-chunk rolled scans
+    (contiguous column access) + a small cross-chunk stitch. Identical
+    values to associative_scan (ordered products), without its strided
+    slice levels (a measured TPU relayout tax at 2^16+)."""
+    n = x.shape[-1]
+    n_chunks = min(n_chunks, n)
+    while n % n_chunks:
+        n_chunks -= 1
+    K = n // n_chunks
+    cols = x.reshape(n_chunks, K).swapaxes(0, 1)       # (K, n_chunks)
+
+    def step(carry, col):
+        acc = F.mul(carry, col)
+        return acc, acc
+
+    ones = jnp.broadcast_to(F.ones(), (n_chunks,)).astype(U32)
+    totals, scans = jax.lax.scan(step, ones, cols)     # (K, n_chunks)
+    # exclusive prefix product of per-chunk totals (tiny)
+    excl = jnp.concatenate([ones[:1], jax.lax.associative_scan(
+        F.mul, totals)[:-1]])
+    return F.mul(scans, excl[None, :]).swapaxes(0, 1).reshape(n)
+
+
 def _local_grand_product(F, fractions):
-    return jnp.concatenate([F.ones((1,)).astype(U32),
-                            jax.lax.associative_scan(F.mul, fractions)])
+    n = fractions.shape[-1]
+    scan = (_prefix_prod_chunked(F, fractions) if n >= 4096
+            else jax.lax.associative_scan(F.mul, fractions))
+    return jnp.concatenate([F.ones((1,)).astype(U32), scan])
 
 
 def default_prims() -> ProverPrims:

@@ -78,31 +78,33 @@ def pick_window_bits(L: int, scalar_bits: int,
 def build_fixed_base_table(F, pts: G1, window_bits: int,
                            scalar_bits: int) -> FixedBaseTable:
     """Precompute T[w][d] = d * 2^(w*window_bits) * pts for d in
-    [0, 2^window_bits). All device work is vectorized over the L points;
-    the only sequential dimension is the 2^window_bits - 1 multiple steps
-    (a lax.scan of batched Jacobian adds)."""
+    [0, 2^window_bits). Everything rolled/batched: the shifted bases come
+    from one scan (inner doubling fori_loop), the d-multiples from ONE
+    scan of adds batched over (windows, points) — per-window python loops
+    multiply both the graph and the (remote) compile time."""
     n_windows = -(-scalar_bits // window_bits)
     n_buckets = 1 << window_bits
-    base = jac_from_affine(F, pts)
+    base0 = jac_from_affine(F, pts)
 
-    def window_multiples(b: G1J):
-        def step(carry, _):
-            return jac_add(F, carry, b), carry
-        _, mult = jax.lax.scan(step, b, None, length=n_buckets - 1)
-        return mult                                # (n_buckets-1, L) jac
+    def next_base(carry, _):
+        nxt = jax.lax.fori_loop(
+            0, window_bits, lambda i, q: jac_double(F, q), carry)
+        return nxt, carry
 
-    rows_x, rows_y, rows_inf = [], [], []
-    for _ in range(n_windows):
-        m = window_multiples(base)
-        aff = jac_to_affine(F, G1J(m.X, m.Y, m.Z))
-        ident = G1.identity((1,) + pts.x.shape)
-        rows_x.append(jnp.concatenate([ident.x, aff.x]))
-        rows_y.append(jnp.concatenate([ident.y, aff.y]))
-        rows_inf.append(jnp.concatenate([ident.inf, aff.inf]))
-        for _ in range(window_bits):
-            base = jac_double(F, base)
-    return FixedBaseTable(x=jnp.stack(rows_x), y=jnp.stack(rows_y),
-                          inf=jnp.stack(rows_inf), window_bits=window_bits)
+    _, bases = jax.lax.scan(next_base, base0, None, length=n_windows)
+    bases = G1J(bases.X, bases.Y, bases.Z)             # (W, L)
+
+    def step(carry, _):
+        return jac_add(F, carry, bases), carry
+
+    _, mult = jax.lax.scan(step, bases, None, length=n_buckets - 1)
+    aff = jac_to_affine(F, G1J(mult.X, mult.Y, mult.Z))  # (B-1, W, L)
+    L = pts.x.shape[0]
+    ident = G1.identity((1, n_windows, L))
+    x = jnp.concatenate([ident.x, aff.x]).swapaxes(0, 1)
+    y = jnp.concatenate([ident.y, aff.y]).swapaxes(0, 1)
+    inf = jnp.concatenate([ident.inf, aff.inf]).swapaxes(0, 1)
+    return FixedBaseTable(x=x, y=y, inf=inf, window_bits=window_bits)
 
 
 import os
