@@ -169,6 +169,30 @@ def bench_scaled_prover(log_n: int = 16):
     return 1.0 / secs
 
 
+def bench_bn254_msm(log_n: int = 14):
+    """BN254 G1 Pippenger MSM (254-bit limb arithmetic) — the standard
+    production-prover metric. Identical-point bases (timing only; group
+    math is data-independent), random full-width scalars."""
+    import jax
+    import jax.numpy as jnp
+    from plonk_tpu.ops import bigcurve as BC
+    from plonk_tpu.ops.bigfield import BigMontField
+
+    F = BigMontField(BC.BN254_FQ)
+    L = 1 << log_n
+    rng = np.random.default_rng(0)
+    gx = jnp.broadcast_to(F.const(BC.BN254_G1_GEN[0]), (L, F.limbs))
+    gy = jnp.broadcast_to(F.const(BC.BN254_G1_GEN[1]), (L, F.limbs))
+    one = jnp.broadcast_to(F.const(1), (L, F.limbs))
+    pts = BC.BigG1J(gx, gy, one)
+    words = jnp.asarray(rng.integers(0, 1 << 16, size=(L, 16),
+                                     dtype=np.uint32))
+    fn = jax.jit(lambda p_, w_: BC.big_msm_pippenger(F, p_, w_,
+                                                     window_bits=8))
+    secs, _ = _timeit(fn, pts, words, reps=3)
+    return L / secs
+
+
 def bench_scaled_batched(log_n: int = 12, batch: int = 16):
     """Throughput mode: vmapped scaled proofs over independent witnesses
     at 2^log_n gates (VERDICT round-1 item 7). Returns proofs/s."""
@@ -248,6 +272,10 @@ def main():
             bench_scaled_batched(), 3)
     except Exception as e:
         extras["scaled_batched_error"] = str(e)[:200]
+    try:
+        extras["bn254_msm_2e14_points_per_s"] = round(bench_bn254_msm(), 1)
+    except Exception as e:
+        extras["bn254_msm_error"] = str(e)[:200]
 
     result = {
         "metric": "plonk_proofs_per_s_canonical",

@@ -167,6 +167,137 @@ def big_on_curve(F: BigMontField, x, y) -> jnp.ndarray:
     return F.eq(lhs, rhs)
 
 
+# ---------------- Pippenger MSM over the big curve ----------------
+#
+# Fixed-base tables don't scale to 254-bit scalars (ceil(254/w) windows
+# multiply the table size); arbitrary-base MSM uses the bucket method:
+# per window, select-sweep points into buckets (streaming, no sort/gather
+# — mirrors ops/fixed_base.select_terms_many), bucket-reduce with the
+# descending running sum, combine windows with doublings.
+
+
+def _big_digits(scalar_words: jnp.ndarray, wb: int,
+                n_windows: int) -> jnp.ndarray:
+    """(L, n_words) 16-bit scalar words -> (n_windows, L) digits."""
+    out = []
+    n_words = scalar_words.shape[1]
+    for w in range(n_windows):
+        lo_bit = w * wb
+        word, off = divmod(lo_bit, 16)
+        d = scalar_words[:, word] >> off
+        if off + wb > 16 and word + 1 < n_words:
+            d = d | (scalar_words[:, word + 1] << (16 - off))
+        out.append(d & jnp.uint32((1 << wb) - 1))
+    return jnp.stack(out)
+
+
+def _big_seg_scan_chunked(F: BigMontField, pts: BigG1J,
+                          starts: jnp.ndarray,
+                          n_chunks: int = 256) -> BigG1J:
+    """Segmented inclusive EC-prefix-sum over limb points: chunked rolled
+    scan + cross-chunk stitch (the BigG1J port of
+    ops/msm._seg_scan_add_jac_chunked)."""
+    n = pts.X.shape[0]
+    n_chunks = min(n_chunks, n)
+    while n % n_chunks:
+        n_chunks -= 1
+    clen = n // n_chunks
+    lim = F.limbs
+    shp = (n_chunks, clen, lim)
+    Xc = pts.X.reshape(shp).swapaxes(0, 1)      # (clen, n_chunks, lim)
+    Yc = pts.Y.reshape(shp).swapaxes(0, 1)
+    Zc = pts.Z.reshape(shp).swapaxes(0, 1)
+    Sc = starts.reshape(n_chunks, clen).swapaxes(0, 1)
+
+    def step(carry, col):
+        acc, seen = carry
+        x, y, z, s = col
+        pt = BigG1J(x, y, z)
+        acc = _sel_pt(s, pt, big_jac_add(F, acc, pt))
+        seen = jnp.logical_or(seen, s)
+        return (acc, seen), (acc, seen)
+
+    ident = BigG1J.identity(F, (n_chunks,))
+    (_, _), (scans, seen) = jax.lax.scan(
+        step, (ident, jnp.zeros((n_chunks,), jnp.bool_)),
+        (Xc, Yc, Zc, Sc))
+    l_last = BigG1J(scans.X[-1], scans.Y[-1], scans.Z[-1])
+    seen_last = seen[-1]
+
+    def stitch(i, carr):
+        prev = BigG1J(carr.X[i - 1], carr.Y[i - 1], carr.Z[i - 1])
+        cur = BigG1J(l_last.X[i - 1], l_last.Y[i - 1], l_last.Z[i - 1])
+        tot = _sel_pt(seen_last[i - 1], cur,
+                      big_jac_add(F, prev, cur))
+        return BigG1J(carr.X.at[i].set(tot.X), carr.Y.at[i].set(tot.Y),
+                      carr.Z.at[i].set(tot.Z))
+
+    carries = jax.lax.fori_loop(1, n_chunks, stitch,
+                                BigG1J.identity(F, (n_chunks,)))
+    with_c = big_jac_add(F, BigG1J(carries.X[None], carries.Y[None],
+                                   carries.Z[None]), scans)
+    out = _sel_pt(seen, scans, with_c)
+    return BigG1J(out.X.swapaxes(0, 1).reshape(n, lim),
+                  out.Y.swapaxes(0, 1).reshape(n, lim),
+                  out.Z.swapaxes(0, 1).reshape(n, lim))
+
+
+def big_msm_pippenger(F: BigMontField, pts: BigG1J,
+                      scalar_words: jnp.ndarray, window_bits: int = 8,
+                      scalar_bits: int = 254) -> BigG1J:
+    """sum_i s_i * P_i for arbitrary points (the production-size MSM):
+    per window, sort by digit + chunked segmented EC-scan (exact bucket
+    sums), descending running-sum bucket reduction, window combine with
+    doublings. Windows are vmapped (one compiled graph)."""
+    wb = window_bits
+    n_windows = -(-scalar_bits // wb)
+    n_buckets = 1 << wb
+    L = pts.X.shape[0]
+    digits = _big_digits(scalar_words, wb, n_windows)   # (W, L)
+
+    def one_window(d_row):
+        order = jnp.argsort(d_row)
+        sd = d_row[order]
+        sp = BigG1J(pts.X[order], pts.Y[order], pts.Z[order])
+        starts = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                  sd[1:] != sd[:-1]])
+        scanned = _big_seg_scan_chunked(F, sp, starts)
+        is_end = jnp.concatenate([sd[:-1] != sd[1:],
+                                  jnp.ones((1,), jnp.bool_)])
+        widx = jnp.where(is_end, sd.astype(jnp.int32), n_buckets)
+        one = jnp.broadcast_to(F.const(1), (n_buckets + 1, F.limbs))
+        bx = one.at[widx].set(scanned.X)
+        by = one.at[widx].set(scanned.Y)
+        bz = jnp.zeros((n_buckets + 1, F.limbs), U32).at[widx].set(
+            scanned.Z)
+
+        def reduce_step(i, carry):
+            running, total = carry
+            b = n_buckets - 1 - i
+            pt = BigG1J(bx[b], by[b], bz[b])
+            running = big_jac_add(F, running, pt)
+            total = big_jac_add(F, total, running)
+            return running, total
+
+        ident = BigG1J.identity(F)
+        _, total = jax.lax.fori_loop(0, n_buckets - 1, reduce_step,
+                                     (ident, ident))
+        return total
+
+    wtot = jax.vmap(one_window)(digits)                  # (W,)
+
+    def combine(i, acc):
+        w = n_windows - 1 - i
+        acc = jax.lax.fori_loop(
+            0, wb, lambda j, q: big_jac_double(F, q), acc)
+        return big_jac_add(F, acc, BigG1J(wtot.X[w], wtot.Y[w],
+                                          wtot.Z[w]))
+
+    acc0 = BigG1J(wtot.X[n_windows - 1], wtot.Y[n_windows - 1],
+                  wtot.Z[n_windows - 1])
+    return jax.lax.fori_loop(1, n_windows, combine, acc0)
+
+
 # ---------------- fixed-base MSM over the big curve ----------------
 #
 # Same design as ops/fixed_base.py (window tables + streaming select +

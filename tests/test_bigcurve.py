@@ -81,12 +81,19 @@ def test_identity_and_inverse_cases():
     assert _affine_of(BC.big_jac_add(F, g, neg)) is None
 
 
+import jax as _jax
+
+# jit once at module scope: an eagerly-called fori_loop re-traces its
+# fresh closures EVERY call -> a full recompile of the 254-bit ladder
+# per test parameter (~20 min each on CPU)
+_ladder = _jax.jit(lambda g, bits: BC.big_jac_mul(F, g, bits, 256))
+
+
 @pytest.mark.parametrize("k", [5, 123456789, R_ORDER - 1, R_ORDER])
 def test_scalar_mul(k):
     g = BC.bn254_generator(F)
-    nbits = 256
-    bits = jnp.asarray(BC.scalar_to_bits(k, nbits))
-    got = _affine_of(BC.big_jac_mul(F, g, bits, nbits))
+    bits = jnp.asarray(BC.scalar_to_bits(k, 256))
+    got = _affine_of(_ladder(g, bits))
     assert got == _mul(G, k)
 
 
@@ -111,7 +118,35 @@ def test_fixed_base_msm():
     for i, s in enumerate(scalars):
         for w in range(3):
             words[i, w] = (s >> (16 * w)) & 0xFFFF
-    got = BC.big_msm_fixed_base(F, tbl, jnp.asarray(words))
+    got = _jax.jit(lambda t, w: BC.big_msm_fixed_base(F, t, w))(
+        tbl, jnp.asarray(words))
+    expect = None
+    for p, s in zip(pts_aff, scalars):
+        expect = _add(expect, _mul(p, s))
+    assert _affine_of(got) == expect
+
+
+def test_big_pippenger_msm():
+    """Arbitrary-base BN254 MSM (sort + chunked segmented scan): equals
+    the python-int oracle with full-width 254-bit scalars."""
+    rng = np.random.default_rng(7)
+    L = 8
+    base_scalars = [int(rng.integers(1, 1 << 60)) for _ in range(L)]
+    pts_aff = [_mul(G, s) for s in base_scalars]
+    xs = F.array([p[0] for p in pts_aff])
+    ys = F.array([p[1] for p in pts_aff])
+    ones = jnp.broadcast_to(F.const(1), (L, F.limbs))
+    pts = BC.BigG1J(xs, ys, ones)
+    scalars = [int.from_bytes(rng.bytes(32), "little") % R_ORDER
+               for _ in range(L)]
+    scalars[0] = 0
+    scalars[1] = scalars[2]  # duplicate digits exercise segment merging
+    words = np.zeros((L, 16), dtype=np.uint32)
+    for i, s in enumerate(scalars):
+        for w in range(16):
+            words[i, w] = (s >> (16 * w)) & 0xFFFF
+    got = _jax.jit(lambda p_, w_: BC.big_msm_pippenger(
+        F, p_, w_, window_bits=8, scalar_bits=254))(pts, jnp.asarray(words))
     expect = None
     for p, s in zip(pts_aff, scalars):
         expect = _add(expect, _mul(p, s))

@@ -294,3 +294,27 @@ def bench_wb_sweep(log_n=16):
 
 if which == "wb":
     bench_wb_sweep()
+
+
+def bench_bn254_msm(log_n=14):
+    from plonk_tpu.ops import bigcurve as BC
+    from plonk_tpu.ops.bigfield import BigMontField
+    F = BigMontField(BC.BN254_FQ)
+    L = 1 << log_n
+    rng = np.random.default_rng(0)
+    gx = jnp.broadcast_to(F.const(BC.BN254_G1_GEN[0]), (L, F.limbs))
+    gy = jnp.broadcast_to(F.const(BC.BN254_G1_GEN[1]), (L, F.limbs))
+    one = jnp.broadcast_to(F.const(1), (L, F.limbs))
+    pts = BC.BigG1J(gx, gy, one)
+    words = jnp.asarray(rng.integers(0, 1 << 16, size=(L, 16),
+                                     dtype=np.uint32))
+    fn = jax.jit(lambda p_, w_: BC.big_msm_pippenger(F, p_, w_,
+                                                     window_bits=8))
+    dt = timeit(lambda: fn(pts, words), reps=3)
+    print(json.dumps({"bn254_msm_log_n": log_n,
+                      "ms": round(dt * 1000, 2),
+                      "points_per_s": round(L / dt, 1)}), flush=True)
+
+
+if which == "bn254":
+    bench_bn254_msm()
