@@ -187,10 +187,15 @@ class ScaledFsProver:
             return base_prims._replace(commit_many=PS.table_commit(
                 ctx, FixedBaseTable(tx, ty, tinf, tbl.window_bits)))
 
-        def s1(tx, ty, tinf, a_w, b_w, c_w, rand9, pi):
+        # circuit-fixed tables once (runtime argument, not a baked const)
+        pre = jax.jit(lambda s, c: PS.precompute_circuit(
+            ctx, s, c, base_prims))(selectors, copies)
+        pre = jax.tree_util.tree_map(jax.block_until_ready, pre)
+
+        def s1(tx, ty, tinf, pre_, a_w, b_w, c_w, rand9, pi):
             prims = with_table(tx, ty, tinf)
-            st = PS._stage_prep(ctx, selectors, copies, a_w, b_w, c_w,
-                                rand9, prims, public_inputs=pi)
+            st = PS._stage_prep(ctx, a_w, b_w, c_w, rand9, prims, pre_,
+                                public_inputs=pi)
             cms = prims.commit_many(ctx, [st["a_x"], st["b_x"], st["c_x"]])
             return st, cms
 
@@ -225,7 +230,7 @@ class ScaledFsProver:
 
         targs = (tbl.x, tbl.y, tbl.inf)
         js1, js2, js3, js4 = (jax.jit(s) for s in (s1, s2, s3, s4))
-        self._s1 = lambda *a: js1(*targs, *a)
+        self._s1 = lambda *a: js1(*targs, pre, *a)
         self._s2 = lambda *a: js2(*targs, *a)
         self._s3 = lambda *a: js3(*targs, *a)
         self._s4 = lambda *a: js4(*targs, *a)

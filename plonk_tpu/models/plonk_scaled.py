@@ -64,6 +64,7 @@ class ScaledContext:
     srs: SRS
     n: int                       # gates == domain size (power of two)
     coset_shift: int = 7         # generator of F_r^* -> never in any H
+    coset_mult: int = 4          # quotient evaluation domain = mult * n
 
     def __post_init__(self):
         """The same domain/coset soundness checks the reference runs at
@@ -85,8 +86,10 @@ class ScaledContext:
             raise ValueError("K1 or K2 is in H, which is not allowed")
         if in_h(pp.k2 * pow(pp.k1, -1, r)):
             raise ValueError("K2 is in K1*H, which is not allowed")
-        if pow(self.coset_shift % r, 8 * n, r) == 1:
-            raise ValueError("coset_shift is in the 8n evaluation domain")
+        if self.coset_mult < 4 or self.coset_mult & (self.coset_mult - 1):
+            raise ValueError("coset_mult must be a power of two >= 4")
+        if pow(self.coset_shift % r, self.coset_mult * n, r) == 1:
+            raise ValueError("coset_shift is in the evaluation domain")
 
     @property
     def Fr(self) -> MontField:
@@ -98,7 +101,13 @@ class ScaledContext:
 
     @property
     def domain8(self) -> int:
-        return 8 * self.n
+        """Quotient evaluation domain size (name kept from the round-2
+        8n layout; the default is now 4n — t_numer's degree 4n+5 wraps on
+        4n points, but the pointwise division by z_H still produces t's
+        exact evaluations there, and deg t = 3n+5 < 4n means the INTT
+        recovers t exactly. Half the field-side HBM traffic; the Proof is
+        bit-identical)."""
+        return self.coset_mult * self.n
 
     def omega(self) -> int:
         return self.params.omega
@@ -290,19 +299,23 @@ def make_prover(ctx: ScaledContext, selectors, copies,
     cps = jnp.asarray(copies)
     base = prims if prims is not None else _auto_prims(ctx)
     tbl = fixed_base_table(ctx)
+    # circuit-fixed tables once per prover, threaded as runtime arguments
+    # (closure constants would bake them into the compiled payload)
+    pre = jax.jit(lambda s, c: precompute_circuit(ctx, s, c, base))(sel, cps)
+    pre = jax.tree_util.tree_map(jax.block_until_ready, pre)
 
-    def run(tx, ty, tinf, a_w, b_w, c_w, ch, rnd, pi):
+    def run(tx, ty, tinf, pre_, a_w, b_w, c_w, ch, rnd, pi):
         pr = base._replace(commit_many=table_commit(
             ctx, FixedBaseTable(tx, ty, tinf, tbl.window_bits)))
         return prove_scaled(ctx, sel, cps, a_w, b_w, c_w, ch, rnd,
-                            prims=pr, public_inputs=pi)
+                            prims=pr, public_inputs=pi, pre=pre_)
 
     jf = jax.jit(run)
 
     def fn(a_w, b_w, c_w, ch, rnd, public_inputs=None):
         pi = (jnp.zeros((ctx.n,), U32) if public_inputs is None
               else jnp.asarray(public_inputs, U32))
-        return jf(tbl.x, tbl.y, tbl.inf, jnp.asarray(a_w, U32),
+        return jf(tbl.x, tbl.y, tbl.inf, pre, jnp.asarray(a_w, U32),
                   jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
                   jnp.asarray(ch, U32), jnp.asarray(rnd, U32), pi)
 
@@ -462,35 +475,81 @@ def _auto_prims(ctx: ScaledContext) -> ProverPrims:
     return default_prims()
 
 
-def _stage_prep(ctx: ScaledContext, selectors, copies, a_w, b_w, c_w,
-                rand9, prims: ProverPrims, public_inputs=None) -> dict:
-    """Challenge-independent work: encode, witness check, sigma gathers,
-    the 12 interpolations (11 circuit polys + PI), round-1 wire blinding.
+def precompute_circuit(ctx: ScaledContext, selectors, copies,
+                       prims: ProverPrims | None = None) -> dict:
+    """Witness- and challenge-independent circuit tables: selector/sigma
+    values, their coefficient polynomials, and their quotient-domain coset
+    evaluations (+ L1 and z_H rows). A fixed circuit pays these ONCE —
+    make_prover computes them eagerly and threads them through as runtime
+    arguments, removing 10 of the 16 forward coset transforms and 8 of
+    the 12 interpolations from every proof (the "preprocessed
+    polynomials" of standard PLONK; the reference recomputes everything
+    per proof, src/plonk.h:265-275)."""
+    Fr = ctx.Fr
+    pp = ctx.params
+    r = pp.field.p
+    n = ctx.n
+    m = ctx.domain8
+    omega = ctx.omega()
+    w8 = ctx.omega8()
+    if prims is None:
+        prims = _auto_prims(ctx)
+
+    h_std = _pow_table(r, omega, n)
+    k1h_std = (h_std.astype(np.uint64) * pp.k1 % r).astype(np.uint32)
+    k2h_std = (h_std.astype(np.uint64) * pp.k2 % r).astype(np.uint32)
+
+    sel = Fr.encode(jnp.asarray(selectors, U32))
+    table = Fr.array(np.stack([h_std, k1h_std, k2h_std]))
+    copies = jnp.asarray(copies)
+    sig = [table[copies[i, :, 0], copies[i, :, 1] - 1] for i in range(3)]
+    sigma_v = jnp.stack(sig)
+
+    # 9 interpolations: q_o q_m q_l q_r q_c s1 s2 s3 L1
+    e0 = jnp.zeros((n,), U32).at[0].set(Fr.ones())
+    circ = jnp.stack([sel[2], sel[3], sel[0], sel[1], sel[4],
+                      sigma_v[0], sigma_v[1], sigma_v[2], e0])
+    polys = prims.intt_n(Fr, circ, omega)
+
+    # 11 coset evaluations: the 9 above + z_H (PI-independent rows of the
+    # round-2 16-row stack)
+    shift_pows = Fr.array(_pow_table(r, ctx.coset_shift, m))
+    zh_coeffs = jnp.zeros((n + 1,), U32).at[0].set(
+        Fr.neg(Fr.ones())).at[n].set(Fr.ones())
+    stack10 = jnp.stack([P.pad_to(polys[i], m) for i in range(9)]
+                        + [P.pad_to(zh_coeffs, m)])
+    evs = prims.ntt8(Fr, Fr.mul(stack10, shift_pows[:m]), w8)
+
+    return dict(
+        sel_v=sel, sigma_v=sigma_v,
+        circ_x=polys,            # (9, n) coefficient polys
+        circ_e=evs,              # (10, m): qo qm ql qr qc s1 s2 s3 l1 zh
+        h_mont=Fr.array(h_std))
+
+
+def _stage_prep(ctx: ScaledContext, a_w, b_w, c_w, rand9,
+                prims: ProverPrims, pre: dict,
+                public_inputs=None) -> dict:
+    """Witness-dependent challenge-independent work: encode, witness
+    check, the 3 (+PI) interpolations, round-1 wire blinding.
 
     public_inputs: optional (n,) standard-form PI values — the reference
     hardcodes PI(x) = 0 (src/plonk.h:396-398); the sound extension takes
     them as a first-class vector with gate rows satisfying
     q_l*a + q_r*b + q_o*c + q_m*ab + q_c + PI = 0."""
     Fr = ctx.Fr
-    pp = ctx.params
-    r = pp.field.p
     n = ctx.n
     omega = ctx.omega()
 
-    h_std = _pow_table(r, omega, n)
-    k1h_std = (h_std.astype(np.uint64) * pp.k1 % r).astype(np.uint32)
-    k2h_std = (h_std.astype(np.uint64) * pp.k2 % r).astype(np.uint32)
-
     rnd = Fr.encode(jnp.asarray(rand9, U32))
-    sel = Fr.encode(jnp.asarray(selectors, U32))
+    sel = pre["sel_v"]
     q_l_v, q_r_v, q_o_v, q_m_v, q_c_v = (sel[i] for i in range(5))
     a_v = Fr.encode(jnp.asarray(a_w, U32))
     b_v = Fr.encode(jnp.asarray(b_w, U32))
     c_v = Fr.encode(jnp.asarray(c_w, U32))
-    if public_inputs is None:
-        pi_v = jnp.zeros((n,), U32)
-    else:
-        pi_v = Fr.encode(jnp.asarray(public_inputs, U32))
+    has_pi = public_inputs is not None
+    pi_v = (Fr.encode(jnp.asarray(public_inputs, U32)) if has_pi
+            else jnp.zeros((n,), U32))
 
     # step 1: witness check (vectorized gate equation incl. PI)
     lhs = Fr.add(
@@ -499,18 +558,14 @@ def _stage_prep(ctx: ScaledContext, selectors, copies, a_w, b_w, c_w,
                Fr.add(Fr.mul(q_m_v, Fr.mul(a_v, b_v)), q_c_v)))
     satisfied = jnp.all(lhs == 0)
 
-    # step 2: sigma gathers
-    table = Fr.array(np.stack([h_std, k1h_std, k2h_std]))
-    copies = jnp.asarray(copies)
-    sig = [table[copies[i, :, 0], copies[i, :, 1] - 1] for i in range(3)]
-    sigma_1, sigma_2, sigma_3 = sig
-
-    # step 3: the 12 interpolations as one batched INTT
-    stacked = jnp.stack([a_v, b_v, c_v, q_o_v, q_m_v, q_l_v, q_r_v, q_c_v,
-                         sigma_1, sigma_2, sigma_3, pi_v])
-    polys = prims.intt_n(Fr, stacked, omega)
-    (f_a_x, f_b_x, f_c_x, q_o_x, q_m_x, q_l_x, q_r_x, q_c_x,
-     s_sigma_1, s_sigma_2, s_sigma_3, pi_x) = (polys[i] for i in range(12))
+    # the witness interpolations as one batched INTT (PI row only when
+    # public inputs are in play — a static-shape branch)
+    rows = [a_v, b_v, c_v] + ([pi_v] if has_pi else [])
+    polys = prims.intt_n(Fr, jnp.stack(rows), omega)
+    f_a_x, f_b_x, f_c_x = polys[0], polys[1], polys[2]
+    # pi_x is None (a static empty pytree leaf, so jit boundaries keep the
+    # branch static) when no public inputs are in play
+    pi_x = polys[3] if has_pi else None
 
     # round 1: blinding via the closed form (b_hi x + b_lo)(x^n - 1)
     def blind2(b_hi, b_lo, f):
@@ -519,16 +574,19 @@ def _stage_prep(ctx: ScaledContext, selectors, copies, a_w, b_w, c_w,
         out = out.at[n].set(b_lo).at[n + 1].set(b_hi)
         return P.padd(Fr, out, f)
 
+    cx = pre["circ_x"]
     return dict(
         rnd=rnd, a_v=a_v, b_v=b_v, c_v=c_v, satisfied=satisfied,
-        sigma_1=sigma_1, sigma_2=sigma_2, sigma_3=sigma_3,
-        q_o_x=q_o_x, q_m_x=q_m_x, q_l_x=q_l_x, q_r_x=q_r_x, q_c_x=q_c_x,
-        s_sigma_1=s_sigma_1, s_sigma_2=s_sigma_2, s_sigma_3=s_sigma_3,
+        sigma_1=pre["sigma_v"][0], sigma_2=pre["sigma_v"][1],
+        sigma_3=pre["sigma_v"][2],
+        q_o_x=cx[0], q_m_x=cx[1], q_l_x=cx[2], q_r_x=cx[3], q_c_x=cx[4],
+        s_sigma_1=cx[5], s_sigma_2=cx[6], s_sigma_3=cx[7],
+        l_1_x=cx[8], circ_e=pre["circ_e"],
         a_x=blind2(rnd[0], rnd[1], f_a_x),
         b_x=blind2(rnd[2], rnd[3], f_b_x),
         c_x=blind2(rnd[4], rnd[5], f_c_x),
         pi_x=pi_x,
-        h_mont=Fr.array(h_std))
+        h_mont=pre["h_mont"])
 
 
 def _stage_grand_product(ctx: ScaledContext, st: dict, beta, gamma,
@@ -584,22 +642,22 @@ def _stage_quotient(ctx: ScaledContext, st: dict, z_x, alpha, beta, gamma,
     omega_pows_z = Fr.array(_pow_table(r, omega, n + 3))
     k1c, k2c = Fr.const(pp.k1), Fr.const(pp.k2)
 
-    # ALL 15 forward coset evaluations ride ONE stacked NTT (batched along
-    # the leading axis) — separate transforms underutilize the chip and
-    # multiply the graph.
+    # the PER-PROOF forward coset evaluations ride ONE stacked NTT; the
+    # circuit-fixed rows (selectors, sigmas, L1, z_H) come precomputed
+    # from precompute_circuit — 5-6 transforms per proof instead of 16.
     z_omega_x = Fr.mul(z_x, omega_pows_z)
-    e0 = jnp.zeros((n,), U32).at[0].set(Fr.ones())
-    l_1_x = prims.intt_n(Fr, e0, omega)
-    zh_coeffs = jnp.zeros((n + 1,), U32).at[0].set(
-        Fr.neg(Fr.ones())).at[n].set(Fr.ones())
-    stack16 = jnp.stack([P.pad_to(c, m) for c in
-                         (st["a_x"], st["b_x"], st["c_x"], z_x, z_omega_x,
-                          st["q_l_x"], st["q_r_x"], st["q_o_x"], st["q_m_x"],
-                          st["q_c_x"], st["s_sigma_1"], st["s_sigma_2"],
-                          st["s_sigma_3"], l_1_x, zh_coeffs, st["pi_x"])])
-    evs = prims.ntt8(Fr, Fr.mul(stack16, shift_pows), w8)
-    (a_e, b_e, c_e, z_e, zw_e, ql_e, qr_e, qo_e, qm_e, qc_e,
-     s1_e, s2_e, s3_e, l1_e, zh_e, pi_e) = (evs[i] for i in range(16))
+    l_1_x = st["l_1_x"]
+    has_pi = st.get("pi_x") is not None
+    rows = [st["a_x"], st["b_x"], st["c_x"], z_x, z_omega_x]
+    if has_pi:
+        rows.append(st["pi_x"])
+    stackp = jnp.stack([P.pad_to(c, m) for c in rows])
+    evs = prims.ntt8(Fr, Fr.mul(stackp, shift_pows), w8)
+    a_e, b_e, c_e, z_e, zw_e = (evs[i] for i in range(5))
+    pi_e = evs[5] if has_pi else jnp.zeros((m,), U32)
+    ce = st["circ_e"]
+    (qo_e, qm_e, ql_e, qr_e, qc_e, s1_e, s2_e, s3_e, l1_e, zh_e) = (
+        ce[i] for i in range(10))
 
     # the coset points themselves: g * w8^i (host table, permuted to the
     # ntt8 evaluation-order layout)
@@ -708,7 +766,7 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
                  copies: jnp.ndarray, a_w: jnp.ndarray, b_w: jnp.ndarray,
                  c_w: jnp.ndarray, challenge, rand9,
                  prims: ProverPrims | None = None,
-                 public_inputs=None
+                 public_inputs=None, pre: dict | None = None
                  ) -> tuple[Proof, ScaledDiagnostics]:
     """Scaled 5-round prover. All inputs in STANDARD form:
     selectors (5, n) uint32, copies (3, n, 2), witness columns (n,),
@@ -719,14 +777,20 @@ def prove_scaled(ctx: ScaledContext, selectors: jnp.ndarray,
     Commitments are deferred and batched into one MSM at the end — with
     caller-supplied challenges nothing downstream consumes them. The
     Fiat-Shamir wrapper (models/fiat_shamir.py) runs the same stages with
-    per-round commitments instead."""
+    per-round commitments instead.
+
+    `pre` takes precompute_circuit's output to skip the circuit-fixed
+    transforms (make_prover threads it as runtime arguments); when None
+    the same tables are computed inline — identical Proof either way."""
     Fr = ctx.Fr
     if prims is None:
         prims = _auto_prims(ctx)
     ch = Fr.encode(jnp.asarray(challenge, U32))
     alpha, beta, gamma, z, v = (ch[i] for i in range(5))
 
-    st = _stage_prep(ctx, selectors, copies, a_w, b_w, c_w, rand9, prims,
+    if pre is None:
+        pre = precompute_circuit(ctx, selectors, copies, prims)
+    st = _stage_prep(ctx, a_w, b_w, c_w, rand9, prims, pre,
                      public_inputs)
     z_x, _den_ok = _stage_grand_product(ctx, st, beta, gamma, prims)
     q3 = _stage_quotient(ctx, st, z_x, alpha, beta, gamma, prims)

@@ -172,26 +172,33 @@ def bench_stages(log_n=16):
         e = Fr.encode(jnp.asarray(chv, jnp.uint32))
         return [e[i] for i in range(5)]
 
+    # circuit-fixed preprocessing runs once (the per-proof pipeline is
+    # what the chains measure, matching make_prover's runtime shape)
+    prej = jax.jit(lambda s, c: PS.precompute_circuit(ctx, s, c, prims))(
+        argsj[0], argsj[1])
+    prej = jax.tree_util.tree_map(jax.block_until_ready, prej)
+    wit = argsj[2:]
+
     def chain1(chv, rnv):
-        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        st = PS._stage_prep(ctx, *wit, rnv, prims, prej)
         return st["a_x"], st["satisfied"]
 
     def chain2(chv, rnv):
         al, be, ga, z, v = enc(chv)
-        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        st = PS._stage_prep(ctx, *wit, rnv, prims, prej)
         z_x, ok = PS._stage_grand_product(ctx, st, be, ga, prims)
         return z_x, ok
 
     def chain3(chv, rnv):
         al, be, ga, z, v = enc(chv)
-        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        st = PS._stage_prep(ctx, *wit, rnv, prims, prej)
         z_x, ok = PS._stage_grand_product(ctx, st, be, ga, prims)
         q3 = PS._stage_quotient(ctx, st, z_x, al, be, ga, prims)
         return q3["t_x"], q3["t_tail_zero"]
 
     def chain4(chv, rnv):
         al, be, ga, z, v = enc(chv)
-        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        st = PS._stage_prep(ctx, *wit, rnv, prims, prej)
         z_x, ok = PS._stage_grand_product(ctx, st, be, ga, prims)
         q3 = PS._stage_quotient(ctx, st, z_x, al, be, ga, prims)
         q5 = PS._stage_openings(ctx, st, q3, z_x, al, be, ga, z, v)
@@ -223,11 +230,15 @@ def bench_openings_ablation(log_n=16):
     argsj = tuple(jnp.asarray(x) for x in (sel, copies, a, b, c))
     prims = PS.default_prims()
     Fr = ctx.Fr
+    prej2 = jax.jit(lambda s_, c_: PS.precompute_circuit(
+        ctx, s_, c_, prims))(argsj[0], argsj[1])
+    prej2 = jax.tree_util.tree_map(jax.block_until_ready, prej2)
+    wit2 = argsj[2:]
 
     def base(chv, rnv):
         e = Fr.encode(jnp.asarray(chv, jnp.uint32))
         al, be, ga, z, v = (e[i] for i in range(5))
-        st = PS._stage_prep(ctx, *argsj, rnv, prims)
+        st = PS._stage_prep(ctx, *wit2, rnv, prims, prej2)
         z_x, _ = PS._stage_grand_product(ctx, st, be, ga, prims)
         q3 = PS._stage_quotient(ctx, st, z_x, al, be, ga, prims)
         return st, q3, z_x, (al, be, ga, z, v)
