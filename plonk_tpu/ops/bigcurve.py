@@ -15,6 +15,7 @@ than ported, same as ops/curve.py (SURVEY §2.1 row 5).
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import numpy as np
@@ -298,6 +299,17 @@ def big_msm_pippenger(F: BigMontField, pts: BigG1J,
     return jax.lax.fori_loop(1, n_windows, combine, acc0)
 
 
+def big_msm_pippenger_many(F: BigMontField, pts: BigG1J,
+                           scalar_words: jnp.ndarray, window_bits: int = 8,
+                           scalar_bits: int = 254) -> BigG1J:
+    """Batched MSMs sharing one compiled graph: scalar_words (B, L, words)
+    -> a (B,) Jacobian batch (the 9 per-proof commitments ride one
+    call, mirroring ops/msm.msm_pippenger_many)."""
+    return jax.vmap(lambda sw: big_msm_pippenger(
+        F, pts, sw, window_bits=window_bits,
+        scalar_bits=scalar_bits))(scalar_words)
+
+
 # ---------------- fixed-base MSM over the big curve ----------------
 #
 # Same design as ops/fixed_base.py (window tables + streaming select +
@@ -305,11 +317,23 @@ def big_msm_pippenger(F: BigMontField, pts: BigG1J,
 # bit arrays or as 16-bit-word arrays (B, L, words).
 
 
-class BigFixedBaseTable(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BigFixedBaseTable:
+    """window_bits is STATIC pytree metadata (not a leaf): tables are
+    runtime jit arguments (the large-constant rule, CLAUDE.md), and the
+    digit-extraction loop in big_msm_fixed_base branches on it."""
     x: jnp.ndarray      # (n_windows, n_buckets, L, limbs) Montgomery
     y: jnp.ndarray
     inf: jnp.ndarray    # (n_windows, n_buckets, L)
     window_bits: int
+
+    def tree_flatten(self):
+        return (self.x, self.y, self.inf), self.window_bits
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, window_bits=aux)
 
 
 def build_big_table(F: BigMontField, pts: BigG1J, window_bits: int,
@@ -353,6 +377,60 @@ def _big_tree_reduce(F: BigMontField, terms: BigG1J) -> BigG1J:
         terms = BigG1J(jnp.concatenate([terms.X, pad.X]),
                        jnp.concatenate([terms.Y, pad.Y]),
                        jnp.concatenate([terms.Z, pad.Z]))
+    while m > 1:
+        h = m // 2
+        terms = big_jac_add(
+            F, BigG1J(terms.X[:h], terms.Y[:h], terms.Z[:h]),
+            BigG1J(terms.X[h:], terms.Y[h:], terms.Z[h:]))
+        m = h
+    return BigG1J(terms.X[0], terms.Y[0], terms.Z[0])
+
+
+def big_fixed_base_mul_many(F: BigMontField, table: BigFixedBaseTable,
+                            scalar_words: jnp.ndarray) -> BigG1J:
+    """s_i * P for EACH scalar (no cross-point sum): the SRS-generation
+    primitive (powers tau^i * G from a 1-point window table — the
+    reference computes these with per-power double-and-add ladders,
+    src/srs.h:33-36). table must be built over a single point (L == 1);
+    scalar_words (B, n_words) 16-bit words, standard form, LSB first.
+    Returns a (B,) Jacobian batch."""
+    wb = table.window_bits
+    n_windows, n_buckets, L, limbs = table.x.shape
+    if L != 1:
+        raise ValueError("per-scalar fixed-base requires a 1-point table")
+    B = scalar_words.shape[0]
+    digits = []
+    for w in range(n_windows):
+        lo_bit = w * wb
+        word, off = divmod(lo_bit, 16)
+        d = scalar_words[:, word] >> off
+        if off + wb > 16 and word + 1 < scalar_words.shape[1]:
+            d = d | (scalar_words[:, word + 1] << (16 - off))
+        digits.append(d & jnp.uint32(n_buckets - 1))
+    digits = jnp.stack(digits)                     # (W, B)
+
+    # gather per (window, scalar): tables are tiny (one point), so a
+    # real gather is fine here (no 905MB streaming concern)
+    tx = table.x[:, :, 0, :]                       # (W, nb, limbs)
+    ty = table.y[:, :, 0, :]
+    tinf = table.inf[:, :, 0]                      # (W, nb)
+    widx = jnp.arange(n_windows)[:, None]
+    gx = tx[widx, digits]                          # (W, B, limbs)
+    gy = ty[widx, digits]
+    ginf = tinf[widx, digits]                      # (W, B)
+    one = jnp.broadcast_to(F.const(1), (n_windows, B, limbs))
+    Z = jnp.where(ginf[..., None], jnp.zeros_like(one), one)
+    terms = BigG1J(jnp.where(ginf[..., None], one, gx),
+                   jnp.where(ginf[..., None], one, gy), Z)
+    # tree-reduce over the WINDOW axis only
+    m = n_windows
+    mm = 1 << (m - 1).bit_length() if m > 1 else 1
+    if mm != m:
+        pad = BigG1J.identity(F, (mm - m, B))
+        terms = BigG1J(jnp.concatenate([terms.X, pad.X]),
+                       jnp.concatenate([terms.Y, pad.Y]),
+                       jnp.concatenate([terms.Z, pad.Z]))
+        m = mm
     while m > 1:
         h = m // 2
         terms = big_jac_add(

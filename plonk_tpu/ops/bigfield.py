@@ -41,11 +41,100 @@ def _to_words(v: int, limbs: int) -> np.ndarray:
                     dtype=np.uint32)
 
 
+# ---- whole-limb-axis carry machinery ----
+#
+# XLA's CPU backend compiles data-movement ops (slice/concat/pad/roll)
+# ~50x slower than elementwise ops (measured: 192 roll-adds 10.9 s vs
+# 192 pure adds 0.17 s), and a small dot_general ~10x faster than a roll.
+# The per-limb sliced carry chains the first version of this module used
+# (~35 movement ops per modular add) made big graphs — the BN254 pairing
+# above all — take tens of MINUTES to compile. Everything below therefore
+# runs on the whole limb axis: Kogge-Stone carry propagation with log2(L)
+# shift steps, where the limb shift is a tiny constant-matrix dot_general
+# on CPU (compile-friendly) and a pad+slice on accelerators (a free fused
+# data movement at runtime).
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_mat(L: int, d: int):
+    return np.eye(L, k=d, dtype=np.int32)
+
+
+def _shift_up(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """out[..., k] = x[..., k-d] (zero fill below); limb axis is last."""
+    import os
+    L = x.shape[-1]
+    if d >= L:
+        return jnp.zeros_like(x)
+    mode = os.environ.get("PLONK_TPU_SHIFT", "")
+    if mode == "pad":
+        pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+        return jnp.pad(x, pad)[..., :L]
+    if jax.default_backend() == "cpu":
+        S = jnp.asarray(_shift_mat(L, d))
+        y = jax.lax.dot_general(x.astype(jnp.int32), S,
+                                (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return y.astype(U32)
+    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x, pad)[..., :L]
+
+
+def _fold1(s: jnp.ndarray) -> jnp.ndarray:
+    """One non-propagating carry fold: limbs < 2^32 -> limbs <
+    0xFFFF + (max_limb >> 16). Top-limb carry must be provably zero
+    (value fits the register) — callers guarantee it."""
+    return (s & _MASK) + _shift_up(s >> _W, 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _colsum_mat(L: int, out_limbs: int) -> np.ndarray:
+    """(2L^2, out_limbs) 0/1 matrix summing flattened lo|hi partial
+    products onto their anti-diagonal columns (hi lands one higher);
+    out_limbs < 2L truncates mod 2^(16*out_limbs)."""
+    M = np.zeros((2 * L * L, out_limbs), np.int32)
+    for i in range(L):
+        for j in range(L):
+            c = i + j
+            if c < out_limbs:
+                M[i * L + j, c] = 1
+            if c + 1 < out_limbs:
+                M[L * L + i * L + j, c + 1] = 1
+    return M
+
+
+def _ks_prop(s: jnp.ndarray):
+    """Exact carry propagation of limbs <= 0x1FFFE (carries 0/1) via a
+    Kogge-Stone generate/propagate scan: log2(L) shift steps instead of
+    an L-deep sliced ripple chain. Returns (lo16, carry_out)."""
+    L = s.shape[-1]
+    lo = s & _MASK
+    g = s >> _W                                   # carry generate (0/1)
+    p = (lo == _MASK).astype(U32)                 # carry propagate
+    d = 1
+    while d < L:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    cin = _shift_up(g, 1)
+    return (lo + cin) & _MASK, g[..., L - 1]
+
+
 @dataclasses.dataclass(frozen=True)
 class BigMontField:
-    """Montgomery-form field over p with R = 2^(16*limbs)."""
+    """Montgomery-form field over p with R = 2^(16*limbs).
+
+    `rolled=True` switches mont_mul to the compact vectorized kernel
+    (mont_mul_vec): whole-limb-axis ops instead of per-word scalar
+    slices, ~10x fewer HLO ops per multiply and ZERO control flow.
+    Required inside graphs that already contain hundreds of multiplies,
+    e.g. the pairing's Miller scan body (ops/bigpairing.py) — a
+    fori_loop-per-multiply variant was tried first and made XLA compile
+    time explode superlinearly in the number of while loops (a single
+    Fq6 mul took >6 min on the CPU backend)."""
     params: FieldParams
     limbs: int = 0  # 0 -> derived from p
+    rolled: bool = False
 
     def __post_init__(self):
         L = self.limbs or -(-self.p.bit_length() // _W)
@@ -112,64 +201,36 @@ class BigMontField:
         return jnp.broadcast_to(one, tuple(shape) + (self.limbs,))
 
     # ---- limb helpers (device) ----
-    def _ge_p(self, a: jnp.ndarray) -> jnp.ndarray:
-        """a >= p, lexicographic from the top limb (shape (...,))."""
-        pw = self._p_words
-        ge = jnp.ones(a.shape[:-1], jnp.bool_)
-        decided = jnp.zeros(a.shape[:-1], jnp.bool_)
-        for k in range(self.limbs - 1, -1, -1):
-            w = a[..., k]
-            pk = jnp.uint32(int(pw[k]))
-            gt = w > pk
-            lt = w < pk
-            ge = jnp.where(~decided & gt, True, jnp.where(~decided & lt,
-                                                          False, ge))
-            decided = decided | gt | lt
-        return ge
+    @functools.cached_property
+    def _rp_words(self) -> np.ndarray:
+        """R - p: adding it == subtracting p mod R; the carry-out of the
+        sum is the s >= p flag (replaces lexicographic compare)."""
+        return _to_words(self.R - self.p, self.limbs)
 
-    def _sub_p(self, a: jnp.ndarray) -> jnp.ndarray:
-        pw = self._p_words
-        out = []
-        borrow = jnp.zeros(a.shape[:-1], U32)
-        for k in range(self.limbs):
-            d = a[..., k] - jnp.uint32(int(pw[k])) - borrow
-            borrow = (d >> 31) & 1  # 16-bit words: underflow sets high bits
-            out.append(d & _MASK)
-        return jnp.stack(out, axis=-1)
+    @functools.cached_property
+    def _e0_words(self) -> np.ndarray:
+        e0 = np.zeros(self.limbs, dtype=np.uint32)
+        e0[0] = 1
+        return e0
 
-    def _add_p(self, a: jnp.ndarray) -> jnp.ndarray:
-        pw = self._p_words
-        out = []
-        carry = jnp.zeros(a.shape[:-1], U32)
-        for k in range(self.limbs):
-            s = a[..., k] + jnp.uint32(int(pw[k])) + carry
-            carry = s >> _W
-            out.append(s & _MASK)
-        return jnp.stack(out, axis=-1)
+    def _csub_p(self, s: jnp.ndarray) -> jnp.ndarray:
+        """s in [0, 2p) with exact 16-bit limbs -> s mod p."""
+        d, ge = _ks_prop(s + jnp.asarray(self._rp_words))
+        return jnp.where((ge == 1)[..., None], d, s)
 
     # ---- arithmetic (Montgomery form in, Montgomery form out) ----
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         a, b = jnp.broadcast_arrays(a, b)
-        out = []
-        carry = jnp.zeros(a.shape[:-1], U32)
-        for k in range(self.limbs):
-            s = a[..., k] + b[..., k] + carry
-            carry = s >> _W
-            out.append(s & _MASK)
-        s = jnp.stack(out, axis=-1)
-        need = self._ge_p(s)
-        return jnp.where(need[..., None], self._sub_p(s), s)
+        s, _ = _ks_prop(a + b)        # a+b < 2p < R: no overflow
+        return self._csub_p(s)
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         a, b = jnp.broadcast_arrays(a, b)
-        out = []
-        borrow = jnp.zeros(a.shape[:-1], U32)
-        for k in range(self.limbs):
-            d = a[..., k] - b[..., k] - borrow
-            borrow = (d >> 31) & 1
-            out.append(d & _MASK)
-        d = jnp.stack(out, axis=-1)
-        return jnp.where((borrow != 0)[..., None], self._add_p(d), d)
+        # a - b = a + ~b + 1 mod R; carry-out <=> a >= b
+        raw = a + (_MASK - b) + jnp.asarray(self._e0_words)
+        d, ge = _ks_prop(raw)
+        d2, _ = _ks_prop(d + jnp.asarray(self._p_words))   # wraps mod R
+        return jnp.where((ge == 1)[..., None], d, d2)
 
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.sub(jnp.zeros_like(a), a)
@@ -183,6 +244,12 @@ class BigMontField:
     def mont_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """CIOS Montgomery product with 16-bit words; fully unrolled limb
         loops (static), elementwise over any batch shape."""
+        if self.rolled:
+            return self.mont_mul_vec(a, b)
+        return self._mont_mul_unrolled(a, b)
+
+    def _mont_mul_unrolled(self, a: jnp.ndarray, b: jnp.ndarray
+                           ) -> jnp.ndarray:
         a, b = jnp.broadcast_arrays(a, b)
         L = self.limbs
         pw = [jnp.uint32(int(w)) for w in self._p_words]
@@ -211,11 +278,53 @@ class BigMontField:
             t[L - 1] = s & _MASK
             tN = tN1 + (s >> _W)
         r = jnp.stack(t, axis=-1)
-        # r + tN*2^(16L) < 2p; fold the top bit into the conditional subtract
-        need = (tN != 0) | self._ge_p(r)
-        fixed = self._sub_p(r)
-        # when tN == 1 the subtraction's missing borrow is absorbed by it
-        return jnp.where(need[..., None], fixed, r)
+        # r + tN*2^(16L) < 2p; fold the top bit into the conditional
+        # subtract (when tN == 1 the mod-R wrap absorbs the borrow)
+        d, ge = _ks_prop(r + jnp.asarray(self._rp_words))
+        need = (tN != 0) | (ge == 1)
+        return jnp.where(need[..., None], d, r)
+
+    @functools.cached_property
+    def _nprime_words(self) -> np.ndarray:
+        """-p^{-1} mod R (full-width REDC factor)."""
+        return _to_words((-pow(self.p, -1, self.R)) % self.R, self.limbs)
+
+    def _full_product_cols(self, a: jnp.ndarray, b: jnp.ndarray,
+                           out_limbs: int) -> jnp.ndarray:
+        """Anti-diagonal column sums of the LxL 16-bit partial-product
+        tensor, as ONE dot_general with a constant 0/1 matrix (XLA CPU
+        compiles a dot ~10x faster than the equivalent pad/concat chain;
+        see module header). Columns < 2L*2^16 <= 2^21 — relaxed, no
+        carries. out_limbs < 2L truncates (mod 2^(16*out_limbs))."""
+        L = self.limbs
+        P = a[..., :, None] * b[..., None, :]        # (..., L, L) < 2^32
+        both = jnp.concatenate(
+            [(P & _MASK).reshape(P.shape[:-2] + (L * L,)),
+             (P >> _W).reshape(P.shape[:-2] + (L * L,))], axis=-1)
+        M = jnp.asarray(_colsum_mat(L, out_limbs))
+        cols = jax.lax.dot_general(both.astype(jnp.int32), M,
+                                   (((both.ndim - 1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        return cols.astype(U32)
+
+    def mont_mul_vec(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery product as full-width REDC on the whole limb axis:
+        T = a*b (one outer product + one column-sum dot), m = T*n' mod R
+        (outer product with the constant n' words), result =
+        (T + m*p) / R, then one conditional subtract. Every carry chain
+        is a log2-depth Kogge-Stone pass — zero per-limb slicing, which
+        is what keeps graphs with hundreds of multiplies (the BN254
+        pairing, ops/bigpairing.py) compilable on the CPU test backend.
+        Bit-identical to _mont_mul_unrolled (same R, canonical output)."""
+        a, b = jnp.broadcast_arrays(a, b)
+        L = self.limbs
+        T, _ = _ks_prop(_fold1(self._full_product_cols(a, b, 2 * L)))
+        m, _ = _ks_prop(_fold1(self._full_product_cols(
+            T[..., :L], jnp.asarray(self._nprime_words), L)))
+        mp = self._full_product_cols(m, jnp.asarray(self._p_words), 2 * L)
+        V, _ = _ks_prop(_fold1(T + mp))              # T + m*p < 2Rp < R^2
+        r = V[..., L:]                               # exact division by R
+        return self._csub_p(r)                       # r < 2p
 
     mul = mont_mul
 

@@ -12,7 +12,12 @@ from plonk_tpu.utils.params import BN254_FR
 
 Q = BC.BN254_FQ.p
 R_ORDER = BN254_FR.p
-F = BigMontField(BC.BN254_FQ)
+# rolled=True (mont_mul_vec, bit-identical to the unrolled CIOS): the
+# 256-step jitted ladder with the UNROLLED field is a known XLA-CPU
+# compile bomb (~50+ min for one fori body — the superlinear-depth
+# pathology in CLAUDE.md); unrolled parity is covered by test_bigfield's
+# eager sweeps.
+F = BigMontField(BC.BN254_FQ, rolled=True)
 
 
 # ---- python-int affine oracle ----
