@@ -193,15 +193,33 @@ def _peval_fast(F, coeffs: jnp.ndarray, x) -> jnp.ndarray:
     return _tree_sum(F, F.mul(coeffs, _pow_vector(F, x, L)))
 
 
+def use_pallas_commit() -> bool:
+    """Fused Pallas sweep+tree commit kernel (ops/pallas_msm.py): default
+    ON for real accelerators, OFF on CPU (interpret mode is test-only);
+    PLONK_TPU_PALLAS_MSM=0/1 overrides."""
+    import os
+    flag = os.environ.get("PLONK_TPU_PALLAS_MSM")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() not in ("cpu",)
+
+
 def fixed_base_table(ctx: ScaledContext):
     """The SRS window-multiple table for fixed-base commitments, built once
     per context and cached ON the context object (an id()-keyed module dict
     would alias after GC — see ADVICE round 1). The build runs on the
     concrete SRS arrays under ensure_compile_time_eval, so even when first
     touched inside a jit trace it executes eagerly and the table becomes a
-    compile-time constant instead of per-call graph ops."""
+    compile-time constant instead of per-call graph ops.
+
+    Layout depends on the commit path: the Pallas kernel wants NARROW
+    windows (its fused in-VMEM tree makes the extra adds nearly free
+    while 8x fewer buckets shrink the streamed bytes and the build) with
+    the window axis padded to a power of two; the XLA select path keeps
+    pick_window_bits."""
     tbl = getattr(ctx, "_fb_table", None)
     if tbl is None:
+        import os
         from ..ops.fixed_base import (FixedBaseTable,
                                       build_fixed_base_table,
                                       pick_window_bits)
@@ -211,8 +229,12 @@ def fixed_base_table(ctx: ScaledContext):
             g1s = ctx.srs.g1s
             pts = G1(g1s.x[:L], g1s.y[:L], g1s.inf[:L])
             bits = ctx.params.field.p.bit_length()
-            wb = pick_window_bits(L, bits)
-            cached = _fb_disk_load(ctx, pts, wb)
+            pallas = use_pallas_commit()
+            if pallas:
+                wb = int(os.environ.get("PLONK_TPU_FB_WB", "4"))
+            else:
+                wb = pick_window_bits(L, bits)
+            cached = _fb_disk_load(ctx, pts, wb, pallas)
             if cached is not None:
                 tbl = cached
             else:
@@ -221,11 +243,16 @@ def fixed_base_table(ctx: ScaledContext):
                 # launch latency — measured 253s vs jitted at 2^14); the
                 # result is disk-cached per SRS (the on-chip build is
                 # still ~3min at 2^16)
-                tbl = jax.jit(lambda p: build_fixed_base_table(
-                    Fq, p, wb, bits))(pts)
+                if pallas:
+                    from ..ops.pallas_msm import build_commit_table
+                    tbl = jax.jit(lambda p: build_commit_table(
+                        Fq, p, bits, window_bits=wb))(pts)
+                else:
+                    tbl = jax.jit(lambda p: build_fixed_base_table(
+                        Fq, p, wb, bits))(pts)
                 # jit arrays every output leaf; window_bits is static
                 tbl = tbl._replace(window_bits=wb)
-                _fb_disk_save(ctx, pts, wb, tbl)
+                _fb_disk_save(ctx, pts, wb, tbl, pallas)
         tbl = jax.tree_util.tree_map(
             lambda a: a if isinstance(a, int) else jax.block_until_ready(a),
             tbl)
@@ -233,23 +260,24 @@ def fixed_base_table(ctx: ScaledContext):
     return tbl
 
 
-def _fb_cache_path(ctx, pts, wb):
+def _fb_cache_path(ctx, pts, wb, pallas=False):
     import hashlib
     import os
     h = hashlib.blake2b(digest_size=16)
     h.update(np.asarray(pts.x).tobytes())
     h.update(np.asarray(pts.y).tobytes())
     h.update(np.asarray(pts.inf).tobytes())
-    h.update(str((ctx.params.field.p, ctx.params.curve.base.p, wb)).encode())
+    h.update(str((ctx.params.field.p, ctx.params.curve.base.p, wb,
+                  "pal" if pallas else "")).encode())
     root = os.environ.get("PLONK_TPU_CACHE",
                           os.path.expanduser("~/.cache/plonk_tpu"))
     return os.path.join(root, f"fbtable_{h.hexdigest()}.npz")
 
 
-def _fb_disk_load(ctx, pts, wb):
+def _fb_disk_load(ctx, pts, wb, pallas=False):
     import os
     from ..ops.fixed_base import FixedBaseTable
-    path = _fb_cache_path(ctx, pts, wb)
+    path = _fb_cache_path(ctx, pts, wb, pallas)
     if not os.path.exists(path):
         return None
     try:
@@ -260,9 +288,9 @@ def _fb_disk_load(ctx, pts, wb):
         return None
 
 
-def _fb_disk_save(ctx, pts, wb, tbl):
+def _fb_disk_save(ctx, pts, wb, tbl, pallas=False):
     import os
-    path = _fb_cache_path(ctx, pts, wb)
+    path = _fb_cache_path(ctx, pts, wb, pallas)
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.savez(path, x=np.asarray(tbl.x), y=np.asarray(tbl.y),
@@ -279,12 +307,17 @@ def table_commit(ctx: ScaledContext, table):
     rejects outright (HTTP 413). make_prover passes the table as a runtime
     argument instead."""
     from ..ops.fixed_base import msm_fixed_base_many
+    from ..ops.pallas_msm import msm_fixed_base_many_pallas
+    pallas = use_pallas_commit()
 
     def commit(c2, coeff_list):
         Fr = c2.Fr
         L = c2.srs.length
         padded = jnp.stack([P.pad_to(c, L)[..., :L] for c in coeff_list])
-        return msm_fixed_base_many(c2.Fq, table, Fr.decode(padded))
+        scalars = Fr.decode(padded)
+        if pallas:
+            return msm_fixed_base_many_pallas(c2.Fq, table, scalars)
+        return msm_fixed_base_many(c2.Fq, table, scalars)
 
     return commit
 
@@ -343,6 +376,10 @@ def _commit_many(ctx: ScaledContext, coeff_list) -> G1:
     scalars = Fr.decode(padded)
     bits = ctx.params.field.p.bit_length()
     if os.environ.get("PLONK_TPU_FIXED_BASE", "1") == "1":
+        if use_pallas_commit():
+            from ..ops.pallas_msm import msm_fixed_base_many_pallas
+            return msm_fixed_base_many_pallas(Fq, fixed_base_table(ctx),
+                                              scalars)
         from ..ops.fixed_base import msm_fixed_base_many
         return msm_fixed_base_many(Fq, fixed_base_table(ctx), scalars)
     from ..ops.msm import msm_pippenger_many, msm_pippenger_jac_many

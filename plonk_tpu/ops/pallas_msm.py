@@ -1,0 +1,318 @@
+"""Pallas TPU kernel: fused fixed-base multi-commitment MSM.
+
+The XLA select-sweep path (ops/fixed_base.py) is two HBM-bound passes:
+the bucket sweep rewrites a (B, W, L) accumulator once per bucket
+(~128x21 MB at 2^16/wb=7), and the Jacobian tree then runs log2(W*L)
+full-width adds with an HBM round trip per level. Measured on the real
+chip: 8.3 ms sweep + ~7 ms tree for the 9 commitments at 2^16.
+
+This kernel fuses BOTH phases into one pass per point tile, entirely in
+VMEM:
+
+  grid = (n_tiles, n_buckets - 1)        # buckets innermost
+  per (tile, d):  acc[b, w, i] <- table[w, d+1, i]  where digit == d+1
+  at the last d:  in-VMEM Jacobian tree over (W, TL) -> one point per
+                  commitment lane, written as the tile's partial sum.
+
+The table is streamed through VMEM exactly once (Pallas pipelines the
+per-bucket blocks); the accumulator never touches HBM; the tree adds are
+pure VPU compute on resident data. Because the tree is now compute-cheap
+(no HBM round trip per level), NARROW windows win: wb=4 streams 8x fewer
+table bytes than wb=7 and the extra tree adds are almost free. The
+per-tile partials (n_tiles x B points) are folded by a tiny XLA tree.
+
+Montgomery arithmetic is the same 16-bit-limb uint32 code as
+ops/pallas_ntt.py; the Jacobian formulas mirror ops/curve.py jac_add /
+jac_double (a = 0 short Weierstrass, Z == 0 encodes infinity).
+
+Reference counterpart: src/srs.h:53-68 (srs_commit) — one ladder per
+coefficient there; one table stream for all nine commitments here.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .curve import G1, G1J
+from .fixed_base import FixedBaseTable, build_fixed_base_table
+
+U32 = jnp.uint32
+
+
+def _mont_ops(p: int, n_prime: int):
+    """In-kernel Montgomery field ops (single u32 word, 16-bit limb
+    products) — identical math to ops/pallas_ntt.py."""
+
+    def add(a, b):
+        pj = jnp.uint32(p)
+        s = a + b
+        return jnp.where(s >= pj, s - pj, s)
+
+    def sub(a, b):
+        pj = jnp.uint32(p)
+        d = a - b
+        return jnp.where(a >= b, d, d + pj)
+
+    def mul(a, b):
+        pj = jnp.uint32(p)
+        npj = jnp.uint32(n_prime)
+        mask16 = jnp.uint32(0xFFFF)
+        a0 = a & mask16
+        a1 = a >> 16
+        b0 = b & mask16
+        b1 = b >> 16
+        p00 = a0 * b0
+        p01 = a0 * b1
+        p10 = a1 * b0
+        p11 = a1 * b1
+        mid = (p00 >> 16) + (p01 & mask16) + (p10 & mask16)
+        lo = (p00 & mask16) | ((mid & mask16) << 16)
+        hi = p11 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+        m = lo * npj
+        m0 = m & mask16
+        m1 = m >> 16
+        q0 = pj & mask16
+        q1 = pj >> 16
+        r00 = m0 * q0
+        r01 = m0 * q1
+        r10 = m1 * q0
+        r11 = m1 * q1
+        rmid = (r00 >> 16) + (r01 & mask16) + (r10 & mask16)
+        rhi = r11 + (r01 >> 16) + (r10 >> 16) + (rmid >> 16)
+        carry = (lo != 0).astype(U32)
+        t = hi + rhi + carry
+        return jnp.where(t >= pj, t - pj, t)
+
+    return add, sub, mul
+
+
+def _jac_ops(p: int, n_prime: int, enc2: int, enc3: int, enc8: int):
+    """Branchless Jacobian add/double on (X, Y, Z) u32 triples; ports
+    ops/curve.py jac_add / jac_double (a = 0; Z == 0 is infinity)."""
+    add, sub, mul = _mont_ops(p, n_prime)
+
+    def dbl(X, Y, Z):
+        c2 = jnp.uint32(enc2)
+        c3 = jnp.uint32(enc3)
+        c8 = jnp.uint32(enc8)
+        A = mul(X, X)
+        B = mul(Y, Y)
+        Cc = mul(B, B)
+        t = add(X, B)
+        D = mul(c2, sub(sub(mul(t, t), A), Cc))
+        E = mul(c3, A)
+        Ff = mul(E, E)
+        X3 = sub(Ff, mul(c2, D))
+        Y3 = sub(mul(E, sub(D, X3)), mul(c8, Cc))
+        Z3 = mul(c2, mul(Y, Z))
+        return X3, Y3, Z3
+
+    def jadd(X1, Y1, Z1, X2, Y2, Z2):
+        c2 = jnp.uint32(enc2)
+        Z1Z1 = mul(Z1, Z1)
+        Z2Z2 = mul(Z2, Z2)
+        U1 = mul(X1, Z2Z2)
+        U2 = mul(X2, Z1Z1)
+        S1 = mul(Y1, mul(Z2, Z2Z2))
+        S2 = mul(Y2, mul(Z1, Z1Z1))
+        H = sub(U2, U1)
+        r = sub(S2, S1)
+        HH = mul(H, H)
+        HHH = mul(H, HH)
+        V = mul(U1, HH)
+        rr = mul(r, r)
+        X3 = sub(sub(rr, HHH), mul(c2, V))
+        Y3 = sub(mul(r, sub(V, X3)), mul(S1, HHH))
+        Z3 = mul(mul(Z1, Z2), H)
+
+        dX, dY, dZ = dbl(X1, Y1, Z1)
+
+        p_inf = Z1 == 0
+        q_inf = Z2 == 0
+        same_x = (H == 0) & ~p_inf & ~q_inf
+        same_pt = same_x & (r == 0)
+        inverse = same_x & (r != 0)
+
+        X3 = jnp.where(same_pt, dX, X3)
+        Y3 = jnp.where(same_pt, dY, Y3)
+        Z3 = jnp.where(same_pt, dZ, Z3)
+        Z3 = jnp.where(inverse, jnp.zeros_like(Z3), Z3)
+        X3 = jnp.where(p_inf, X2, X3)
+        Y3 = jnp.where(p_inf, Y2, Y3)
+        Z3 = jnp.where(p_inf, Z2, Z3)
+        X3 = jnp.where(q_inf, X1, X3)
+        Y3 = jnp.where(q_inf, Y1, Y3)
+        Z3 = jnp.where(q_inf, Z1, Z3)
+        return X3, Y3, Z3
+
+    return jadd, dbl
+
+
+def _commit_kernel(p: int, n_prime: int, one: int, enc2: int, enc3: int,
+                   enc8: int, wb: int, B: int, W: int, TL: int,
+                   scal_ref, tx_ref, ty_ref, tinf_ref,
+                   ox_ref, oy_ref, oz_ref, ax, ay, az):
+    jadd, _ = _jac_ops(p, n_prime, enc2, enc3, enc8)
+    d = pl.program_id(1)
+    n_d = pl.num_programs(1)
+    onej = jnp.uint32(one)
+
+    @pl.when(d == 0)
+    def _init():
+        ax[:] = jnp.full((B, W, TL), onej, U32)
+        ay[:] = jnp.full((B, W, TL), onej, U32)
+        az[:] = jnp.zeros((B, W, TL), U32)
+
+    # digits for this tile: (B, W, TL); bucket index being swept is d+1
+    shifts = (jax.lax.broadcasted_iota(U32, (B, W, TL), 1)
+              * jnp.uint32(wb))
+    digits = (scal_ref[:][:, None, :] >> shifts) & jnp.uint32((1 << wb) - 1)
+    hit = digits == (d + 1).astype(U32)
+
+    tx = tx_ref[:][:, 0, :][None]                     # (1, W, TL)
+    ty = ty_ref[:][:, 0, :][None]
+    tinf = tinf_ref[:][:, 0, :][None] != 0
+    ax[:] = jnp.where(hit, jnp.where(tinf, onej, tx), ax[:])
+    ay[:] = jnp.where(hit, jnp.where(tinf, onej, ty), ay[:])
+    az[:] = jnp.where(hit, jnp.where(tinf, jnp.uint32(0), onej), az[:])
+
+    @pl.when(d == n_d - 1)
+    def _reduce():
+        X, Y, Z = ax[:], ay[:], az[:]
+        w = W
+        # window axis first (stays full-lane-width the whole way)
+        while w > 1:
+            h = w // 2
+            lo = (X[:, :h], Y[:, :h], Z[:, :h])
+            hi = (X[:, h:w], Y[:, h:w], Z[:, h:w])
+            X, Y, Z = jadd(*lo, *hi)
+            w = h
+        X, Y, Z = X[:, 0], Y[:, 0], Z[:, 0]           # (B, TL)
+        t = TL
+        while t > 1:
+            h = t // 2
+            X, Y, Z = jadd(X[:, :h], Y[:, :h], Z[:, :h],
+                           X[:, h:t], Y[:, h:t], Z[:, h:t])
+            t = h
+        ox_ref[0, :] = X[:, 0]
+        oy_ref[0, :] = Y[:, 0]
+        oz_ref[0, :] = Z[:, 0]
+
+
+def _pad_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length() if n > 1 else 1
+
+
+def commit_many_pallas(F, table: FixedBaseTable, scalars: jnp.ndarray,
+                       tile: int = 2048, interpret: bool = False) -> G1J:
+    """(B, L) standard-form scalars -> (B,) Jacobian commitments against
+    the fixed-base window table, as ONE fused Pallas pass (sweep + tree).
+    W must cover the scalar bits; the window axis must be padded to a
+    power of two by the table builder (build_commit_table)."""
+    W, nb, L = table.x.shape
+    wb = table.window_bits
+    B = scalars.shape[0]
+    if W & (W - 1):
+        raise ValueError("window count must be a power of two "
+                         "(build_commit_table pads it)")
+    TL = min(tile, _pad_pow2(L))
+    n_tiles = -(-L // TL)
+    Lp = n_tiles * TL
+    if Lp != L:
+        padp = [(0, 0), (0, 0), (0, Lp - L)]
+        tx = jnp.pad(table.x, padp)
+        ty = jnp.pad(table.y, padp)
+        tinf = jnp.pad(table.inf.astype(U32), padp,
+                       constant_values=1)
+        scalars = jnp.pad(jnp.asarray(scalars, U32),
+                          [(0, 0), (0, Lp - L)])
+    else:
+        tx, ty = table.x, table.y
+        tinf = table.inf.astype(U32)
+        scalars = jnp.asarray(scalars, U32)
+
+    p, npr = int(F.p), int(F.n_prime)
+    R = (1 << 32) % p
+    enc = lambda c: (c * R) % p
+    kern = functools.partial(
+        _commit_kernel, p, npr, R, enc(2), enc(3), enc(8), wb, B, W, TL)
+    out_shape = jax.ShapeDtypeStruct((n_tiles, B), U32)
+    mem = pl.ANY if interpret else pltpu.VMEM
+    ox, oy, oz = pl.pallas_call(
+        kern,
+        grid=(n_tiles, nb - 1),
+        in_specs=[
+            pl.BlockSpec((B, TL), lambda t, d: (0, t), memory_space=mem),
+            pl.BlockSpec((W, 1, TL), lambda t, d: (0, d + 1, t),
+                         memory_space=mem),
+            pl.BlockSpec((W, 1, TL), lambda t, d: (0, d + 1, t),
+                         memory_space=mem),
+            pl.BlockSpec((W, 1, TL), lambda t, d: (0, d + 1, t),
+                         memory_space=mem),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), lambda t, d: (t, 0), memory_space=mem),
+            pl.BlockSpec((1, B), lambda t, d: (t, 0), memory_space=mem),
+            pl.BlockSpec((1, B), lambda t, d: (t, 0), memory_space=mem),
+        ],
+        out_shape=[out_shape, out_shape, out_shape],
+        scratch_shapes=[
+            pltpu.VMEM((B, W, TL), U32),
+            pltpu.VMEM((B, W, TL), U32),
+            pltpu.VMEM((B, W, TL), U32),
+        ],
+        interpret=interpret,
+    )(scalars, tx, ty, tinf)
+
+    # tiny XLA tree over the per-tile partials (n_tiles is ~dozens)
+    from .curve import jac_add
+    terms = G1J(ox.T, oy.T, oz.T)                     # (B, n_tiles)
+    m = _pad_pow2(n_tiles)
+    if m != n_tiles:
+        pad = G1J.identity(F, (B, m - n_tiles))
+        terms = G1J(jnp.concatenate([terms.X, pad.X], axis=1),
+                    jnp.concatenate([terms.Y, pad.Y], axis=1),
+                    jnp.concatenate([terms.Z, pad.Z], axis=1))
+    while m > 1:
+        h = m // 2
+        terms = jac_add(F, G1J(terms.X[:, :h], terms.Y[:, :h],
+                               terms.Z[:, :h]),
+                        G1J(terms.X[:, h:], terms.Y[:, h:],
+                            terms.Z[:, h:]))
+        m = h
+    return G1J(terms.X[:, 0], terms.Y[:, 0], terms.Z[:, 0])
+
+
+def build_commit_table(F, pts: G1, scalar_bits: int,
+                       window_bits: int = 4) -> FixedBaseTable:
+    """Window table for the Pallas commit path: narrow windows (the
+    fused tree makes extra adds nearly free; fewer buckets = fewer
+    streamed bytes AND fewer sweep steps), window axis padded to a power
+    of two with identity rows so the in-kernel tree needs no masking."""
+    tbl = build_fixed_base_table(F, pts, window_bits, scalar_bits)
+    W = tbl.x.shape[0]
+    Wp = _pad_pow2(W)
+    if Wp != W:
+        padw = [(0, Wp - W), (0, 0), (0, 0)]
+        tbl = FixedBaseTable(
+            x=jnp.pad(tbl.x, padw), y=jnp.pad(tbl.y, padw),
+            inf=jnp.pad(tbl.inf, padw, constant_values=True),
+            window_bits=window_bits)
+    return tbl
+
+
+def msm_fixed_base_many_pallas(F, table: FixedBaseTable,
+                               scalars_batch: jnp.ndarray,
+                               tile: int = 2048,
+                               interpret: bool = False) -> G1:
+    """Drop-in sibling of ops/fixed_base.msm_fixed_base_many returning
+    affine points."""
+    from .curve import jac_to_affine
+    out = commit_many_pallas(F, table, scalars_batch, tile=tile,
+                             interpret=interpret)
+    return jac_to_affine(F, out)
