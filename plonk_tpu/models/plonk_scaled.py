@@ -482,6 +482,21 @@ def fused_prims() -> ProverPrims:
         perm8=lambda tbl: tbl[np.asarray(FN.scrambled_perm(len(tbl)))])
 
 
+def onepass_prims() -> ProverPrims:
+    """fused_prims with each transform as ONE Pallas kernel: the whole
+    (n1, n2) matrix resident in VMEM for both four-step passes plus the
+    twiddle — HBM traffic is read+write per transform instead of the
+    five-step path's 5 round trips (ops/fused_ntt.fused_ntt_1k)."""
+    from ..ops import fused_ntt as FN
+    return ProverPrims(
+        intt_n=lambda F, x, w: N.intt(F, x, w),
+        ntt8=lambda F, x, w: FN.fused_ntt_1k(F, x, w),
+        intt8=lambda F, x, w: FN.fused_intt_1k(F, x, w),
+        grand_product=_local_grand_product,
+        commit_many=_commit_many,
+        perm8=lambda tbl: tbl[np.asarray(FN.scrambled_perm(len(tbl)))])
+
+
 def mxu_prims() -> ProverPrims:
     """Single-chip prims with the 8n coset stack on the int8 MXU matmul
     NTT (ops/mxu_ntt.py) in its transposed layout."""
@@ -502,13 +517,20 @@ def _auto_prims(ctx: ScaledContext) -> ProverPrims:
     flag = os.environ.get("PLONK_TPU_NTT")
     if flag == "fused" or os.environ.get("PLONK_TPU_FUSED") == "1":
         return fused_prims()
+    if flag == "onepass":
+        return onepass_prims()
     if flag == "mxu":
         return mxu_prims()
     if flag == "blocked" or os.environ.get("PLONK_TPU_FUSED") == "0":
         return default_prims()
     # measured at 2^16 gates on-chip (round 2): field side 20.7 ms blocked
-    # vs 23.5 fused vs 38.1 mxu -> blocked is the prover default; the
-    # fused/mxu paths remain for standalone transforms and future tuning
+    # vs 23.5 fused vs 38.1 mxu -> blocked was the round-2 prover
+    # default; the single-kernel whole transform (onepass) removes the
+    # per-stage HBM round trips both of those pay and is the accelerator
+    # default from round 3 (CPU keeps blocked: Pallas there is
+    # interpret-only).
+    if jax.default_backend() not in ("cpu",):
+        return onepass_prims()
     return default_prims()
 
 

@@ -147,6 +147,141 @@ def fused_intt(F, y: jnp.ndarray, w: int,
     return F.mul(a, F.const(pow(n, -1, F.p)))
 
 
+# ---------------- single-kernel whole transform ----------------
+#
+# The five-step fused_ntt above still pays 5 HBM round trips (2 Pallas
+# row passes + 2 XLA transposes + 1 twiddle pass). But a full 2^16-2^19
+# transform is only 0.25-2 MB of u32 — the WHOLE matrix fits in VMEM. The
+# kernel below runs the complete four-step transform in one residency:
+#
+#   pass 1: DIF butterflies along the SUBLANE axis (length n1, root
+#           w^n2) — no transpose needed, pltpu.roll(axis=0);
+#   twiddle: elementwise by the (rev(k1), i2)-layout w^{i2 k1} matrix;
+#   pass 2: DIF butterflies along the LANE axis (length n2, root w^n1).
+#
+# Output flat layout rev(k1)*n2 + rev(k2) == scrambled_perm — identical
+# arrays to fused_ntt/fused_intt (asserted in tests/test_fused_ntt.py),
+# so the prover's scrambled-layout quotient path can swap it in as prims
+# without touching protocol code. HBM traffic: read + write, period.
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _full2d_kernel(p: int, n_prime: int, n1: int, n2: int, mirror: bool,
+                   scale: int | None, tw1_ref, twm_ref, tw2_ref,
+                   y_ref, out_ref):
+    """mirror=False: forward structure (DIF sublanes, twiddle, DIF
+    lanes) — root inversion is a table property, not a structure one;
+    mirror=True: the fused_intt structure (DIT lanes, twiddle, DIT
+    sublanes, optional 1/n scale)."""
+    from .pallas_ntt import _mont_ops
+    add, sub, mul = _mont_ops(p, n_prime)
+    y = y_ref[0]
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+    pos1 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+
+    def stages(C):
+        out, half, s = [], 1, 0
+        while half < C:
+            out.append((half, s))
+            half *= 2
+            s += 1
+        return out
+
+    def axis_pass(y, tw_ref, pos, axis, C, dif):
+        st = stages(C)
+        if dif:
+            st = st[::-1]
+        for half, s in st:
+            tv = tw_ref[s, :]
+            tv = tv[:, None] if axis == 0 else tv[None, :]
+            in_low = (pos % (2 * half)) < half
+            down = pltpu.roll(y, C - half, axis)
+            up = pltpu.roll(y, half, axis)
+            if dif:
+                low_new = add(y, down)
+                high_new = mul(sub(up, y), tv)
+            else:
+                low_new = add(y, mul(down, tv))
+                high_new = sub(up, mul(y, tv))
+            y = jnp.where(in_low, low_new, high_new)
+        return y
+
+    if not mirror:
+        y = axis_pass(y, tw1_ref, pos0, 0, n1, dif=True)
+        y = mul(y, twm_ref[:])
+        y = axis_pass(y, tw2_ref, pos1, 1, n2, dif=True)
+    else:
+        # mirror: DIT lanes (scrambled k2 -> natural i2), twiddle,
+        # DIT sublanes (scrambled k1 -> natural i1), 1/n scale
+        y = axis_pass(y, tw2_ref, pos1, 1, n2, dif=False)
+        y = mul(y, twm_ref[:])
+        y = axis_pass(y, tw1_ref, pos0, 0, n1, dif=False)
+        if scale is not None:
+            y = mul(y, jnp.uint32(scale))
+    out_ref[0] = y
+
+
+def _onepass(F, x: jnp.ndarray, w: int, inverse: bool, mirror: bool,
+             intt_scale: bool, interpret: bool) -> jnp.ndarray:
+    import functools as _ft
+    n = x.shape[-1]
+    _check_root(F.p, w, n)
+    batch = x.shape[:-1]
+    nb = int(np.prod(batch)) if batch else 1
+    n1, n2 = _split(n)
+    wq = pow(w, -1, F.p) if inverse else w
+
+    tw1 = jnp.stack([F.array(t) for t in
+                     _stage_tables(F.p, pow(wq, n2, F.p), n1, n1)])
+    tw2 = jnp.stack([F.array(t) for t in
+                     _stage_tables(F.p, pow(wq, n1, F.p), n2, n2)])
+    twm_nat = _twiddle_matrix(F.p, w, n1, n2, inverse)   # (n2, rev k1)
+    twm = jnp.asarray(F.encode_host(np.ascontiguousarray(twm_nat.T)))
+    scale = None
+    if intt_scale:
+        R = (1 << 32) % F.p
+        scale = (pow(n, -1, F.p) * R) % F.p
+    kern = _ft.partial(_full2d_kernel, F.p, F.n_prime, n1, n2, mirror,
+                       scale)
+    mem = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((tw1.shape[0], n1), lambda b: (0, 0),
+                         memory_space=mem),
+            pl.BlockSpec((n1, n2), lambda b: (0, 0), memory_space=mem),
+            pl.BlockSpec((tw2.shape[0], n2), lambda b: (0, 0),
+                         memory_space=mem),
+            pl.BlockSpec((1, n1, n2), lambda b: (b, 0, 0),
+                         memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((1, n1, n2), lambda b: (b, 0, 0),
+                               memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct((nb, n1, n2), U32),
+        interpret=interpret,
+    )(tw1, twm, tw2, x.reshape(nb, n1, n2))
+    return out.reshape(batch + (n,))
+
+
+def fused_ntt_1k(F, x: jnp.ndarray, w: int, inverse: bool = False,
+                 interpret: bool = False) -> jnp.ndarray:
+    """fused_ntt as ONE Pallas kernel per transform (natural in,
+    scrambled out; bit-identical to fused_ntt)."""
+    return _onepass(F, x, w, inverse, mirror=False, intt_scale=False,
+                    interpret=interpret)
+
+
+def fused_intt_1k(F, y: jnp.ndarray, w: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """fused_intt as ONE Pallas kernel per transform (scrambled in,
+    natural 1/n-scaled coefficients out; bit-identical to fused_intt)."""
+    return _onepass(F, y, w, inverse=True, mirror=True, intt_scale=True,
+                    interpret=interpret)
+
+
 def fused_ntt_natural(F, x: jnp.ndarray, w: int,
                       interpret: bool = False) -> jnp.ndarray:
     """fused_ntt + unscramble to natural evaluation order (for callers

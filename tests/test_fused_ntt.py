@@ -75,3 +75,24 @@ def test_fused_inverse_root_matches_intt():
     perm = FN.scrambled_perm(n)
     ref = N.ntt(F, x, pow(w, -1, F.p), layout="simple")
     assert np.array_equal(np.asarray(y), np.asarray(ref)[perm])
+
+
+@pytest.mark.parametrize("log_n", [10, 12])
+def test_onepass_matches_fused(log_n):
+    """The single-kernel whole transform must be bit-identical to the
+    five-step fused path in both directions, incl. batches."""
+    n = 1 << log_n
+    w = BABYBEAR.root_of_unity(n)
+    rng = np.random.default_rng(100 + log_n)
+    x = M.encode(jnp.asarray(rng.integers(0, M.p, size=(3, n),
+                                          dtype=np.uint32)))
+    ref = FN.fused_ntt(M, x, w, interpret=True)
+    got = FN.fused_ntt_1k(M, x, w, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+    back_ref = FN.fused_intt(M, ref, w, interpret=True)
+    back_got = FN.fused_intt_1k(M, got, w, interpret=True)
+    assert np.array_equal(np.asarray(back_got), np.asarray(back_ref))
+    assert np.array_equal(np.asarray(back_got), np.asarray(x))
+    inv = FN.fused_ntt_1k(M, x, w, inverse=True, interpret=True)
+    inv_ref = FN.fused_ntt(M, x, w, inverse=True, interpret=True)
+    assert np.array_equal(np.asarray(inv), np.asarray(inv_ref))
