@@ -382,3 +382,194 @@ def verify_fs(ctx, cons, fs_proof: FsProof,
     ch = _derive_from_proof(label, ctx.params, n, vk_points,
                             fs_proof.proof, fs_proof.nonce)
     return verify(ctx, vk, fs_proof.proof, ch)
+
+
+# ---------------- BN254 prover (production curve) --------------------
+#
+# Same round-phased transcript as the scaled prover, over 254-bit
+# challenges carried as (16,) 16-bit-word arrays. The stage split mirrors
+# ScaledFsProver; circuit tables and SRS are closed over (fine for the
+# 2^10-2^12 bench sizes — at 2^16+ they should be threaded as runtime
+# arguments like plonk_scaled.make_prover to stay under the remote
+# compile payload limit).
+
+
+def _bn254_r() -> int:
+    from ..utils.params import BN254_FR
+    return BN254_FR.p
+
+
+def _bn254_words(v: int) -> np.ndarray:
+    return np.array([(int(v) >> (16 * k)) & 0xFFFF for k in range(16)],
+                    dtype=np.uint32)
+
+
+def _bn254_preamble(label: bytes, ctx, vk_points, nonce: int,
+                    public_inputs=None) -> Transcript:
+    r = _bn254_r()
+    t = Transcript(label, r)
+    t.absorb_scalars(b"params", np.concatenate(
+        [_bn254_words(r), _bn254_words(ctx.n), _bn254_words(ctx.k1),
+         _bn254_words(ctx.k2), _bn254_words(ctx.omega)]))
+    for i, pt in enumerate(vk_points):
+        t.absorb_point(b"vk%d" % i, pt)
+    if public_inputs is not None:
+        t.absorb_scalars(b"pi", np.asarray(public_inputs))
+    t.absorb_scalars(b"nonce", np.asarray([nonce], dtype=np.uint32))
+    return t
+
+
+def _bn254_derive_from_proof(label: bytes, ctx, vk_points, proof,
+                             nonce: int, public_inputs=None) -> np.ndarray:
+    """Verifier-side replay -> (5, 16) standard-form challenge words
+    [alpha beta gamma z v]."""
+    t = _bn254_preamble(label, ctx, vk_points, nonce, public_inputs)
+    t.absorb_point(b"a", proof.a_s)
+    t.absorb_point(b"b", proof.b_s)
+    t.absorb_point(b"c", proof.c_s)
+    beta = t.squeeze()
+    gamma = t.squeeze()
+    t.absorb_point(b"z", proof.z_s)
+    alpha = t.squeeze()
+    t.absorb_point(b"t_lo", proof.t_lo_s)
+    t.absorb_point(b"t_mid", proof.t_mid_s)
+    t.absorb_point(b"t_hi", proof.t_hi_s)
+    z = t.squeeze(_not_in_domain(t.p, ctx.n))
+    t.absorb_scalars(b"evals", np.stack([
+        np.asarray(proof.a_z), np.asarray(proof.b_z), np.asarray(proof.c_z),
+        np.asarray(proof.s_sigma_1_z), np.asarray(proof.s_sigma_2_z),
+        np.asarray(proof.r_z), np.asarray(proof.z_omega_z)]))
+    v = t.squeeze()
+    return np.stack([_bn254_words(c) for c in (alpha, beta, gamma, z, v)])
+
+
+class BN254FsProver:
+    """Non-interactive BN254 prover: four compiled round stages, then any
+    witness proves with transcript-derived challenges.
+
+        fs = BN254FsProver(ctx, selectors, copies)
+        out, diags = fs.prove(a_w, b_w, c_w, rand9)
+        assert verify_bn254_fs(ctx, fs.vk, out)
+    """
+
+    def __init__(self, ctx, selectors, copies,
+                 label: bytes = b"tpu-plonk-bn254-fs-v1"):
+        from . import plonk_bn254 as PB
+        self.ctx = ctx
+        self.label = label
+        sel = jnp.asarray(selectors, U32)
+        cps = jnp.asarray(copies)
+        self.vk = PB.make_vk_bn254(ctx, sel, cps)
+        self._vk_points = list(self.vk)
+        Fr, Fq = ctx.Fr, ctx.Fq
+
+        def dec_pts(cms):
+            return PB.BigG1Affine(Fq.decode(cms.x), Fq.decode(cms.y),
+                                  cms.inf)
+
+        def s1(a, b, c, rnd, pi):
+            st = PB._stage_prep(ctx, sel, cps, a, b, c, rnd, pi)
+            cms = PB._commit_many(ctx, [st["a_x"], st["b_x"], st["c_x"]])
+            return st, dec_pts(cms)
+
+        def s2(st, beta_w, gamma_w):
+            z_x, den_ok = PB._stage_grand_product(
+                ctx, st, Fr.encode(beta_w), Fr.encode(gamma_w))
+            cms = PB._commit_many(ctx, [z_x])
+            return z_x, den_ok, dec_pts(cms)
+
+        def s3(st, z_x, alpha_w, beta_w, gamma_w):
+            q3 = PB._stage_quotient(ctx, st, z_x, Fr.encode(alpha_w),
+                                    Fr.encode(beta_w), Fr.encode(gamma_w))
+            cms = PB._commit_many(ctx, [q3["t_lo_x"], q3["t_mid_x"],
+                                        q3["t_hi_x"]])
+            return q3, dec_pts(cms)
+
+        def s4(st, q3, z_x, ch_w):
+            ch = Fr.encode(ch_w)
+            alpha, beta, gamma, z, v = (ch[i] for i in range(5))
+            q5 = PB._stage_openings(ctx, st, q3, z_x, alpha, beta, gamma,
+                                    z, v)
+            cms = PB._commit_many(ctx, [q5["w_z_x_quo"],
+                                        q5["w_z_omega_x"]])
+            evals = {k: Fr.decode(q5[k]) for k in
+                     ("a_z", "b_z", "c_z", "s_sigma_1_z", "s_sigma_2_z",
+                      "r_z", "z_omega_z")}
+            return evals, dec_pts(cms), q5["rem1"], q5["rem2"]
+
+        self._s1, self._s2, self._s3, self._s4 = (
+            jax.jit(s) for s in (s1, s2, s3, s4))
+
+    def prove(self, a_w, b_w, c_w, rand9, public_inputs=None,
+              max_retries: int = 32):
+        from . import plonk_bn254 as PB
+        ctx = self.ctx
+        n = ctx.n
+        a_w, b_w, c_w = (jnp.asarray(x, U32) for x in (a_w, b_w, c_w))
+        rand9 = jnp.asarray(rand9, U32)
+        pi = (jnp.zeros((n, 16), U32) if public_inputs is None
+              else jnp.asarray(public_inputs, U32))
+
+        st, c1 = self._s1(a_w, b_w, c_w, rand9, pi)
+        pick = lambda cms, i: PB.BigG1Affine(cms.x[i], cms.y[i],
+                                             cms.inf[i])
+        pt1 = [pick(c1, i) for i in range(3)]
+
+        for nonce in range(max_retries):
+            t = _bn254_preamble(self.label, ctx, self._vk_points, nonce,
+                                public_inputs)
+            for tag, pt in zip((b"a", b"b", b"c"), pt1):
+                t.absorb_point(tag, pt)
+            beta = t.squeeze()
+            gamma = t.squeeze()
+            z_x, den_ok, c2 = self._s2(st, _bn254_words(beta),
+                                       _bn254_words(gamma))
+            if bool(den_ok):
+                break
+        else:
+            raise RuntimeError(
+                "no admissible beta/gamma in %d retries" % max_retries)
+
+        z_pt = pick(c2, 0)
+        t.absorb_point(b"z", z_pt)
+        alpha = t.squeeze()
+        q3, c3 = self._s3(st, z_x, _bn254_words(alpha),
+                          _bn254_words(beta), _bn254_words(gamma))
+        pt3 = [pick(c3, i) for i in range(3)]
+        for tag, pt in zip((b"t_lo", b"t_mid", b"t_hi"), pt3):
+            t.absorb_point(tag, pt)
+        zch = t.squeeze(_not_in_domain(t.p, n))
+        ch = np.stack([_bn254_words(c) for c in
+                       (alpha, beta, gamma, zch, 1)])
+        # evaluations are v-independent: derive v from them, then rerun
+        # the openings with the real v (same trick as the scaled prover)
+        evals, _, _, _ = self._s4(st, q3, z_x, jnp.asarray(ch))
+        t.absorb_scalars(b"evals", np.stack(
+            [np.asarray(evals[k]) for k in
+             ("a_z", "b_z", "c_z", "s_sigma_1_z", "s_sigma_2_z", "r_z",
+              "z_omega_z")]))
+        v = t.squeeze()
+        ch[4] = _bn254_words(v)
+        evals, c4, rem1, rem2 = self._s4(st, q3, z_x, jnp.asarray(ch))
+
+        proof = PB.BN254Proof(
+            a_s=pt1[0], b_s=pt1[1], c_s=pt1[2], z_s=z_pt,
+            t_lo_s=pt3[0], t_mid_s=pt3[1], t_hi_s=pt3[2],
+            w_z_s=pick(c4, 0), w_z_omega_s=pick(c4, 1), **evals)
+        diags = PB.BN254Diagnostics(
+            satisfied=st["satisfied"], t_tail_zero=q3["t_tail_zero"],
+            w_z_rem_zero=rem1, w_zw_rem_zero=rem2)
+        return FsProof(proof=proof, nonce=nonce, challenge=ch), diags
+
+
+def verify_bn254_fs(ctx, vk, fs_proof: FsProof,
+                    label: bytes = b"tpu-plonk-bn254-fs-v1",
+                    public_inputs=None) -> bool:
+    """Replay the transcript from the proof and run the two real-pairing
+    checks; any tampered commitment/evaluation shifts the derived
+    challenges AND breaks the pairing identity."""
+    from . import plonk_bn254 as PB
+    ch = _bn254_derive_from_proof(label, ctx, list(vk), fs_proof.proof,
+                                  fs_proof.nonce, public_inputs)
+    return PB.verify_bn254(ctx, vk, fs_proof.proof, ch,
+                           public_inputs=public_inputs)

@@ -1,0 +1,685 @@
+"""PLONK over BN254 — the production-curve instantiation, end-to-end.
+
+Same 5-round protocol as models/plonk_scaled.py (coset-evaluation
+quotient, closed-form blinding/divisions, batched commitments), lifted to
+254-bit multi-limb fields: scalars are BN254-Fr limb arrays
+(ops/bigfield.py), commitments are BN254 G1 Pippenger MSMs
+(ops/bigcurve.py), and verification runs REAL optimal-ate pairing checks
+over the Fq12 tower (ops/bigpairing.py) — the production analog of the
+reference's toy KZG pipeline (src/srs.h, src/plonk.h over F101/F17).
+
+Shapes: a field element is a (limbs,) uint32 array of 16-bit words; a
+polynomial is (n, limbs) with the coefficient axis at -2 (ops/bigpoly.py).
+Witness/challenge inputs arrive as STANDARD-form word arrays; everything
+internal is Montgomery form; the proof leaves standard-form.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.params import BN254_FR
+from ..ops.bigfield import BigMontField, big_ntt, big_intt
+from ..ops import bigpoly as BPol
+from ..ops.bigcurve import (BN254_FQ, BigG1J, bn254_generator, big_jac_add,
+                            big_jac_mul, big_jac_double, big_to_affine,
+                            build_big_table, big_fixed_base_mul_many,
+                            big_msm_pippenger_many, scalar_to_bits)
+from ..ops import bigpairing as BPair
+from ..ops.tower import (Fq2, Fq12, f12_mul, f12_conj, f12_eq,
+                         f2_const)
+
+U32 = jnp.uint32
+FR_BITS = 254
+FR_WORDS = 16
+
+
+class BigG1Affine(NamedTuple):
+    """Affine G1 batch, Montgomery-form coordinates + infinity mask."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    inf: jnp.ndarray
+
+
+class BN254SRS(NamedTuple):
+    """KZG setup: g1s[i] = tau^i * G (Jacobian batch), g2_1 = H,
+    g2_s = tau * H (affine twist coordinates). Reference: src/srs.h:11-16
+    (with the intended — non-degenerate — base point)."""
+    g1s: BigG1Affine
+    g2_1x: Fq2
+    g2_1y: Fq2
+    g2_sx: Fq2
+    g2_sy: Fq2
+    length: int
+
+
+class BN254Proof(NamedTuple):
+    """9 G1 commitments (standard-form affine words) + 7 Fr evaluations
+    (standard-form words) — the Proof struct of src/plonk.h:24-41 at
+    254-bit scale."""
+    a_s: BigG1Affine
+    b_s: BigG1Affine
+    c_s: BigG1Affine
+    z_s: BigG1Affine
+    t_lo_s: BigG1Affine
+    t_mid_s: BigG1Affine
+    t_hi_s: BigG1Affine
+    w_z_s: BigG1Affine
+    w_z_omega_s: BigG1Affine
+    a_z: jnp.ndarray
+    b_z: jnp.ndarray
+    c_z: jnp.ndarray
+    s_sigma_1_z: jnp.ndarray
+    s_sigma_2_z: jnp.ndarray
+    r_z: jnp.ndarray
+    z_omega_z: jnp.ndarray
+
+
+class BN254Diagnostics(NamedTuple):
+    satisfied: jnp.ndarray
+    t_tail_zero: jnp.ndarray
+    w_z_rem_zero: jnp.ndarray
+    w_zw_rem_zero: jnp.ndarray
+
+    def all_ok(self):
+        return jnp.all(jnp.stack([self.satisfied, self.t_tail_zero,
+                                  self.w_z_rem_zero, self.w_zw_rem_zero]))
+
+
+@dataclasses.dataclass(frozen=True)
+class BN254Context:
+    srs: BN254SRS
+    n: int
+    k1: int = 5           # generator of F_r^*: k1^n != 1 for any 2-power n
+    k2: int = 25          # k2 = k1^2; k2/k1 = k1 not in H
+    coset_shift: int = 5
+    rolled: bool = False  # rolled CIOS in the prover (small-graph mode)
+
+    def __post_init__(self):
+        r = BN254_FR.p
+        n = self.n
+        if n & (n - 1) or n < 2:
+            raise ValueError("n must be a power of two >= 2")
+        if 4 * n > 1 << BN254_FR.two_adicity:
+            raise ValueError("4n exceeds BN254-Fr's 2-adic domain")
+        in_h = lambda x: pow(x % r, n, r) == 1
+        if in_h(self.k1) or in_h(self.k2):
+            raise ValueError("K1 or K2 is in H")
+        if in_h(self.k2 * pow(self.k1, -1, r)):
+            raise ValueError("K2 is in K1*H")
+        if pow(self.coset_shift % r, 4 * n, r) == 1:
+            raise ValueError("coset_shift is in the 4n domain")
+
+    @property
+    def Fr(self) -> BigMontField:
+        return BigMontField(BN254_FR, rolled=self.rolled)
+
+    @property
+    def Fq(self) -> BigMontField:
+        return BigMontField(BN254_FQ, rolled=self.rolled)
+
+    @property
+    def omega(self) -> int:
+        return BN254_FR.root_of_unity(self.n)
+
+    @property
+    def omega4(self) -> int:
+        # quotient coset domain 4n: t_numer (deg <= 4n+5) wraps, but the
+        # pointwise division still yields t's exact evaluations and
+        # deg t = 3n+5 < 4n, so the INTT recovers t exactly — half the
+        # field-side traffic of an 8n domain (see plonk_scaled)
+        return BN254_FR.root_of_unity(4 * self.n)
+
+
+def _words_std(v: int, n_words: int = FR_WORDS) -> np.ndarray:
+    return np.array([(v >> (16 * k)) & 0xFFFF for k in range(n_words)],
+                    dtype=np.uint32)
+
+
+def bn254_setup(n: int, secret: int = 20260817, rolled: bool = False
+                ) -> BN254Context:
+    """Trusted setup: tau-power SRS over BN254 (the intended construction
+    — the reference's degenerate-SRS bug, src/srs.h:27, is preserved only
+    in the toy dialect; a production curve gets the real thing)."""
+    r = BN254_FR.p
+    Fq = BigMontField(BN254_FQ)
+    tau = secret % r
+    length = n + 5
+    # scalar table tau^i mod r, host side
+    pows = np.empty((length, FR_WORDS), dtype=np.uint32)
+    cur = 1
+    for i in range(length):
+        pows[i] = _words_std(cur)
+        cur = cur * tau % r
+    gen = bn254_generator(Fq, shape=(1,))
+    tbl = build_big_table(Fq, gen, window_bits=8, scalar_bits=FR_BITS)
+    g1s_jac = jax.jit(lambda sw: big_fixed_base_mul_many(Fq, tbl, sw)
+                      )(jnp.asarray(pows))
+    x, y, inf = big_to_affine(Fq, g1s_jac)
+    g1s = BigG1Affine(x=x, y=y, inf=inf)
+
+    Fqp = BPair.pairing_field(rolled=True)
+    g2 = BPair.g2_generator(Fqp)
+    bits = jnp.asarray(scalar_to_bits(tau, FR_BITS))
+    g2s = BPair.g2_mul_bits(Fqp, g2, bits, FR_BITS)
+    g2_1x, g2_1y, _ = BPair.g2_to_affine(Fqp, g2)
+    g2_sx, g2_sy, _ = BPair.g2_to_affine(Fqp, g2s)
+    srs = BN254SRS(g1s=g1s, g2_1x=g2_1x, g2_1y=g2_1y, g2_sx=g2_sx,
+                   g2_sy=g2_sy, length=length)
+    return BN254Context(srs=srs, n=n, rolled=rolled)
+
+
+# ---------- host tables ----------
+
+def _pow_table_words(p: int, g: int, length: int) -> np.ndarray:
+    out = np.empty((length, FR_WORDS), dtype=np.uint32)
+    cur = 1
+    for i in range(length):
+        out[i] = _words_std(cur)
+        cur = (cur * g) % p
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _host_tables(n: int, k1: int, k2: int, shift: int):
+    """Montgomery-encoded domain tables, cached per (n, cosets)."""
+    r = BN254_FR.p
+    F = BigMontField(BN254_FR)
+    omega = BN254_FR.root_of_unity(n)
+    w8 = BN254_FR.root_of_unity(4 * n)
+    m = 4 * n
+    h_std = [pow(omega, i, r) for i in range(n)]
+    enc = lambda xs: np.asarray(F.encode_host(np.array(xs, dtype=object)))
+    tabs = dict(
+        h=enc(h_std),
+        k1h=enc([x * k1 % r for x in h_std]),
+        k2h=enc([x * k2 % r for x in h_std]),
+        shift_pows=enc([pow(shift, i, r) for i in range(m)]),
+        inv_shift_pows=enc([pow(pow(shift, -1, r), i, r) for i in range(m)]),
+        omega_pows=enc([pow(omega, i, r) for i in range(n + 3)]),
+        coset_pts=enc([shift * pow(w8, i, r) % r for i in range(m)]),
+        n_inv=enc([pow(n, -1, r)])[0],
+    )
+    return tabs
+
+
+# ---------- the staged pipeline ----------
+
+
+def _stage_prep(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
+                rand9, public_inputs):
+    """Encode, witness check, sigma gathers, 12 batched interpolations,
+    round-1 blinding (src/plonk.h:231-301 structure)."""
+    Fr = ctx.Fr
+    n = ctx.n
+    tabs = _host_tables(n, ctx.k1, ctx.k2, ctx.coset_shift)
+
+    rnd = Fr.encode(rand9)
+    sel = Fr.encode(selectors)                      # (5, n, limbs)
+    q_l_v, q_r_v, q_o_v, q_m_v, q_c_v = (sel[i] for i in range(5))
+    a_v, b_v, c_v = Fr.encode(a_w), Fr.encode(b_w), Fr.encode(c_w)
+    pi_v = (jnp.zeros((n, Fr.limbs), U32) if public_inputs is None
+            else Fr.encode(public_inputs))
+
+    lhs = Fr.add(
+        Fr.add(Fr.add(Fr.mont_mul(q_l_v, a_v), Fr.mont_mul(q_r_v, b_v)),
+               pi_v),
+        Fr.add(Fr.mont_mul(q_o_v, c_v),
+               Fr.add(Fr.mont_mul(q_m_v, Fr.mont_mul(a_v, b_v)), q_c_v)))
+    satisfied = jnp.all(lhs == 0)
+
+    table = jnp.stack([jnp.asarray(tabs["h"]), jnp.asarray(tabs["k1h"]),
+                       jnp.asarray(tabs["k2h"])])
+    copies = jnp.asarray(copies)
+    sig = [table[copies[i, :, 0], copies[i, :, 1] - 1] for i in range(3)]
+    sigma_1, sigma_2, sigma_3 = sig
+
+    stacked = jnp.stack([a_v, b_v, c_v, q_o_v, q_m_v, q_l_v, q_r_v, q_c_v,
+                         sigma_1, sigma_2, sigma_3, pi_v])
+    polys = big_intt(Fr, stacked, ctx.omega)
+    (f_a_x, f_b_x, f_c_x, q_o_x, q_m_x, q_l_x, q_r_x, q_c_x,
+     s_sigma_1, s_sigma_2, s_sigma_3, pi_x) = (polys[i] for i in range(12))
+
+    def blind2(b_hi, b_lo, f):
+        out = jnp.zeros((n + 2, Fr.limbs), U32)
+        out = out.at[0].set(Fr.neg(b_lo)).at[1].set(Fr.neg(b_hi))
+        out = out.at[n].set(b_lo).at[n + 1].set(b_hi)
+        return BPol.padd(Fr, out, f)
+
+    return dict(
+        rnd=rnd, a_v=a_v, b_v=b_v, c_v=c_v, satisfied=satisfied,
+        sigma_1=sigma_1, sigma_2=sigma_2, sigma_3=sigma_3,
+        q_o_x=q_o_x, q_m_x=q_m_x, q_l_x=q_l_x, q_r_x=q_r_x, q_c_x=q_c_x,
+        s_sigma_1=s_sigma_1, s_sigma_2=s_sigma_2, s_sigma_3=s_sigma_3,
+        a_x=blind2(rnd[0], rnd[1], f_a_x),
+        b_x=blind2(rnd[2], rnd[3], f_b_x),
+        c_x=blind2(rnd[4], rnd[5], f_c_x),
+        pi_x=pi_x, h_mont=jnp.asarray(tabs["h"]))
+
+
+def _stage_grand_product(ctx: BN254Context, st, beta, gamma):
+    Fr = ctx.Fr
+    n = ctx.n
+    tabs = _host_tables(n, ctx.k1, ctx.k2, ctx.coset_shift)
+    w_i = st["h_mont"][:n - 1]
+    k1c = Fr.const(ctx.k1)
+    k2c = Fr.const(ctx.k2)
+    aa, bb, cc = st["a_v"][:n - 1], st["b_v"][:n - 1], st["c_v"][:n - 1]
+    bw = Fr.mont_mul(beta, w_i)
+    denom = Fr.mont_mul(
+        Fr.mont_mul(Fr.add(aa, Fr.add(bw, gamma)),
+                    Fr.add(bb, Fr.add(Fr.mont_mul(k1c, bw), gamma))),
+        Fr.add(cc, Fr.add(Fr.mont_mul(k2c, bw), gamma)))
+    numer = Fr.mont_mul(
+        Fr.mont_mul(
+            Fr.add(aa, Fr.add(Fr.mont_mul(beta, st["sigma_1"][:n - 1]),
+                              gamma)),
+            Fr.add(bb, Fr.add(Fr.mont_mul(beta, st["sigma_2"][:n - 1]),
+                              gamma))),
+        Fr.add(cc, Fr.add(Fr.mont_mul(beta, st["sigma_3"][:n - 1]),
+                          gamma)))
+    # vanishing factors make the later t-division fail exactly like the
+    # reference's remainder assert (src/plonk.h:506-510); the FS prover
+    # retries on a fresh nonce (same contract as plonk_scaled)
+    denominator_ok = jnp.logical_and(
+        jnp.all(jnp.any(numer != 0, axis=-1)),
+        jnp.all(jnp.any(denom != 0, axis=-1)))
+    fractions = Fr.mont_mul(denom, Fr.inv(numer))
+    scan = BPol.prefix_prod_chunked(Fr, fractions)
+    acc = jnp.concatenate([Fr.ones((1,)), scan])
+    acc_x = big_intt(Fr, acc, ctx.omega)
+
+    rnd = st["rnd"]
+    out = jnp.zeros((n + 3, Fr.limbs), U32)
+    out = out.at[0].set(Fr.neg(rnd[8])).at[1].set(Fr.neg(rnd[7]))
+    out = out.at[2].set(Fr.neg(rnd[6]))
+    out = out.at[n].set(rnd[8]).at[n + 1].set(rnd[7])
+    out = out.at[n + 2].set(rnd[6])
+    return BPol.padd(Fr, out, acc_x), denominator_ok
+
+
+def _stage_quotient(ctx: BN254Context, st, z_x, alpha, beta, gamma):
+    Fr = ctx.Fr
+    n = ctx.n
+    m = 4 * n
+    tabs = _host_tables(n, ctx.k1, ctx.k2, ctx.coset_shift)
+    shift_pows = jnp.asarray(tabs["shift_pows"])
+    inv_shift_pows = jnp.asarray(tabs["inv_shift_pows"])
+    omega_pows_z = jnp.asarray(tabs["omega_pows"])
+    k1c, k2c = Fr.const(ctx.k1), Fr.const(ctx.k2)
+    w8 = ctx.omega4
+
+    z_omega_x = Fr.mont_mul(z_x, omega_pows_z[:z_x.shape[-2]])
+    e0 = jnp.zeros((n, Fr.limbs), U32).at[0].set(Fr.const(1))
+    l_1_x = big_intt(Fr, e0, ctx.omega)
+    zh = jnp.zeros((n + 1, Fr.limbs), U32)
+    zh_coeffs = zh.at[0].set(Fr.neg(Fr.const(1))).at[n].set(Fr.const(1))
+    stack16 = jnp.stack([BPol.pad_to(c, m) for c in
+                         (st["a_x"], st["b_x"], st["c_x"], z_x, z_omega_x,
+                          st["q_l_x"], st["q_r_x"], st["q_o_x"],
+                          st["q_m_x"], st["q_c_x"], st["s_sigma_1"],
+                          st["s_sigma_2"], st["s_sigma_3"], l_1_x,
+                          zh_coeffs, st["pi_x"])])
+    evs = big_ntt(Fr, Fr.mont_mul(stack16, shift_pows), w8)
+    (a_e, b_e, c_e, z_e, zw_e, ql_e, qr_e, qo_e, qm_e, qc_e,
+     s1_e, s2_e, s3_e, l1_e, zh_e, pi_e) = (evs[i] for i in range(16))
+
+    pts = jnp.asarray(tabs["coset_pts"])
+    t1 = Fr.add(
+        Fr.add(Fr.mont_mul(Fr.mont_mul(a_e, b_e), qm_e),
+               Fr.add(Fr.mont_mul(a_e, ql_e), pi_e)),
+        Fr.add(Fr.mont_mul(b_e, qr_e),
+               Fr.add(Fr.mont_mul(c_e, qo_e), qc_e)))
+    bpts = Fr.mont_mul(beta, pts)
+    t2 = Fr.mont_mul(Fr.mont_mul(Fr.mont_mul(
+        Fr.add(a_e, Fr.add(bpts, gamma)),
+        Fr.add(b_e, Fr.add(Fr.mont_mul(k1c, bpts), gamma))),
+        Fr.add(c_e, Fr.add(Fr.mont_mul(k2c, bpts), gamma))),
+        Fr.mont_mul(alpha, z_e))
+    t3 = Fr.mont_mul(Fr.mont_mul(Fr.mont_mul(
+        Fr.add(a_e, Fr.add(Fr.mont_mul(beta, s1_e), gamma)),
+        Fr.add(b_e, Fr.add(Fr.mont_mul(beta, s2_e), gamma))),
+        Fr.add(c_e, Fr.add(Fr.mont_mul(beta, s3_e), gamma))),
+        Fr.mont_mul(alpha, zw_e))
+    alpha_sq = Fr.mont_mul(alpha, alpha)
+    t4 = Fr.mont_mul(Fr.mont_mul(Fr.sub(z_e, Fr.const(1)), alpha_sq), l1_e)
+    t_num_e = Fr.add(Fr.sub(Fr.add(t1, t2), t3), t4)
+    t_e = Fr.mont_mul(t_num_e, Fr.inv(zh_e))
+    t_full = Fr.mont_mul(big_intt(Fr, t_e, w8), inv_shift_pows)
+    t_len = 3 * n + 6
+    t_x = t_full[..., :t_len, :]
+    t_tail_zero = jnp.all(t_full[..., t_len:, :] == 0)
+
+    part = n + 2
+    return dict(z_omega_x=z_omega_x, l_1_x=l_1_x, t_x=t_x,
+                t_tail_zero=t_tail_zero,
+                t_lo_x=t_x[..., :part, :],
+                t_mid_x=t_x[..., part:2 * part, :],
+                t_hi_x=t_x[..., 2 * part:, :])
+
+
+def _stage_openings(ctx: BN254Context, st, q3, z_x, alpha, beta, gamma,
+                    z, v):
+    Fr = ctx.Fr
+    n = ctx.n
+    k1c, k2c = Fr.const(ctx.k1), Fr.const(ctx.k2)
+    alpha_sq = Fr.mont_mul(alpha, alpha)
+    s_sigma_1, s_sigma_2, s_sigma_3 = (st["s_sigma_1"], st["s_sigma_2"],
+                                       st["s_sigma_3"])
+    a_x, b_x, c_x = st["a_x"], st["b_x"], st["c_x"]
+
+    peval = lambda c: BPol.peval(Fr, c, z)
+    a_z, b_z, c_z = peval(a_x), peval(b_x), peval(c_x)
+    s_sigma_1_z = peval(s_sigma_1)
+    s_sigma_2_z = peval(s_sigma_2)
+    t_z = peval(q3["t_x"])
+    z_omega_z = peval(q3["z_omega_x"])
+
+    r_x = BPol.pscale(Fr, st["q_m_x"], Fr.mont_mul(a_z, b_z))
+    r_x = BPol.padd(Fr, r_x, BPol.pscale(Fr, st["q_l_x"], a_z))
+    r_x = BPol.padd(Fr, r_x, BPol.pscale(Fr, st["q_r_x"], b_z))
+    r_x = BPol.padd(Fr, r_x, BPol.pscale(Fr, st["q_o_x"], c_z))
+    r_x = BPol.padd(Fr, r_x, st["q_c_x"])
+    bz = Fr.mont_mul(beta, z)
+    azg = Fr.add(Fr.add(a_z, bz), gamma)
+    bzg = Fr.add(Fr.add(b_z, Fr.mont_mul(k1c, bz)), gamma)
+    czg = Fr.add(Fr.add(c_z, Fr.mont_mul(k2c, bz)), gamma)
+    r_x = BPol.padd(Fr, r_x, BPol.pscale(
+        Fr, z_x, Fr.mont_mul(Fr.mont_mul(Fr.mont_mul(azg, bzg), czg),
+                             alpha)))
+    as1z = Fr.add(a_z, Fr.add(Fr.mont_mul(beta, s_sigma_1_z), gamma))
+    bs2z = Fr.add(b_z, Fr.add(Fr.mont_mul(beta, s_sigma_2_z), gamma))
+    r_x = BPol.psub(Fr, r_x, BPol.pscale(
+        Fr, s_sigma_3,
+        Fr.mont_mul(Fr.mont_mul(Fr.mont_mul(as1z, bs2z), alpha),
+                    Fr.mont_mul(beta, z_omega_z))))
+    l_1_z = peval(q3["l_1_x"])
+    r_x = BPol.padd(Fr, r_x, BPol.pscale(
+        Fr, z_x, Fr.mont_mul(l_1_z, alpha_sq)))
+    r_z = BPol.peval(Fr, r_x, z)
+
+    z_pow_part = Fr.pow_static_rolled(z, n + 2)
+    z_pow_2part = Fr.mont_mul(z_pow_part, z_pow_part)
+    w = BPol.padd(Fr, q3["t_lo_x"],
+                  BPol.pscale(Fr, q3["t_mid_x"], z_pow_part))
+    w = BPol.padd(Fr, w, BPol.pscale(Fr, q3["t_hi_x"], z_pow_2part))
+    w = BPol.padd_const(Fr, w, Fr.neg(t_z))
+
+    vpow = [Fr.const(1), v]
+    for _ in range(5):
+        vpow.append(Fr.mont_mul(vpow[-1], v))
+
+    def open_term(poly, eval_at_z, k):
+        shifted = BPol.padd_const(Fr, poly.astype(U32),
+                                  Fr.neg(eval_at_z))
+        return BPol.pscale(Fr, shifted, vpow[k])
+
+    w = BPol.padd(Fr, w, open_term(r_x, r_z, 1))
+    w = BPol.padd(Fr, w, open_term(a_x, a_z, 2))
+    w = BPol.padd(Fr, w, open_term(b_x, b_z, 3))
+    w = BPol.padd(Fr, w, open_term(c_x, c_z, 4))
+    w = BPol.padd(Fr, w, open_term(s_sigma_1, s_sigma_1_z, 5))
+    w = BPol.padd(Fr, w, open_term(s_sigma_2, s_sigma_2_z, 6))
+
+    w_z_x_quo, rem1 = BPol.divide_by_linear(Fr, w, z)
+    z_shift = BPol.padd_const(Fr, z_x, Fr.neg(z_omega_z))
+    zw = Fr.mont_mul(z, Fr.const(ctx.omega))
+    w_z_omega_x, rem2 = BPol.divide_by_linear(Fr, z_shift, zw)
+    return dict(a_z=a_z, b_z=b_z, c_z=c_z, s_sigma_1_z=s_sigma_1_z,
+                s_sigma_2_z=s_sigma_2_z, r_z=r_z, z_omega_z=z_omega_z,
+                w_z_x_quo=w_z_x_quo, w_z_omega_x=w_z_omega_x,
+                rem1=jnp.all(rem1 == 0), rem2=jnp.all(rem2 == 0))
+
+
+def _commit_many(ctx: BN254Context, coeff_list) -> BigG1Affine:
+    """One batched Pippenger MSM for all commitments."""
+    Fr, Fq = ctx.Fr, ctx.Fq
+    L = ctx.srs.length
+    padded = jnp.stack([BPol.pad_to(c, L)[..., :L, :] for c in coeff_list])
+    scalars = Fr.decode(padded)                   # standard-form words
+    g1s = ctx.srs.g1s
+    one = jnp.broadcast_to(Fq.const(1), g1s.x.shape)
+    Z = jnp.where(g1s.inf[..., None], jnp.zeros_like(one), one)
+    pts = BigG1J(jnp.where(g1s.inf[..., None], one, g1s.x),
+                 jnp.where(g1s.inf[..., None], one, g1s.y), Z)
+    out = big_msm_pippenger_many(Fq, pts, scalars, window_bits=8,
+                                 scalar_bits=FR_BITS)
+    x, y, inf = big_to_affine(Fq, out)
+    return BigG1Affine(x=x, y=y, inf=inf)
+
+
+def prove_bn254(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
+                challenge, rand9, public_inputs=None
+                ) -> tuple[BN254Proof, BN254Diagnostics]:
+    """BN254 5-round prover. Inputs in STANDARD form as 16-bit-word
+    arrays: selectors (5, n, 16), copies (3, n, 2) int32, witness columns
+    (n, 16), challenge (5, 16) [alpha beta gamma z v], rand9 (9, 16).
+    Jittable; wrap in jax.jit with ctx closed over."""
+    Fr = ctx.Fr
+    ch = Fr.encode(jnp.asarray(challenge, U32))
+    alpha, beta, gamma, z, v = (ch[i] for i in range(5))
+
+    st = _stage_prep(ctx, jnp.asarray(selectors, U32),
+                     jnp.asarray(copies), jnp.asarray(a_w, U32),
+                     jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
+                     jnp.asarray(rand9, U32),
+                     None if public_inputs is None
+                     else jnp.asarray(public_inputs, U32))
+    z_x, _den_ok = _stage_grand_product(ctx, st, beta, gamma)
+    q3 = _stage_quotient(ctx, st, z_x, alpha, beta, gamma)
+    q5 = _stage_openings(ctx, st, q3, z_x, alpha, beta, gamma, z, v)
+
+    cms = _commit_many(ctx, [st["a_x"], st["b_x"], st["c_x"], z_x,
+                             q3["t_lo_x"], q3["t_mid_x"], q3["t_hi_x"],
+                             q5["w_z_x_quo"], q5["w_z_omega_x"]])
+    Fq = ctx.Fq
+    pick = lambda i: BigG1Affine(Fq.decode(cms.x[i]), Fq.decode(cms.y[i]),
+                                 cms.inf[i])
+    dec = Fr.decode
+    proof = BN254Proof(
+        a_s=pick(0), b_s=pick(1), c_s=pick(2), z_s=pick(3),
+        t_lo_s=pick(4), t_mid_s=pick(5), t_hi_s=pick(6),
+        w_z_s=pick(7), w_z_omega_s=pick(8),
+        a_z=dec(q5["a_z"]), b_z=dec(q5["b_z"]), c_z=dec(q5["c_z"]),
+        s_sigma_1_z=dec(q5["s_sigma_1_z"]),
+        s_sigma_2_z=dec(q5["s_sigma_2_z"]),
+        r_z=dec(q5["r_z"]), z_omega_z=dec(q5["z_omega_z"]))
+    diags = BN254Diagnostics(satisfied=st["satisfied"],
+                             t_tail_zero=q3["t_tail_zero"],
+                             w_z_rem_zero=q5["rem1"],
+                             w_zw_rem_zero=q5["rem2"])
+    return proof, diags
+
+
+# ---------------- verifier ----------------
+
+
+class BN254VK(NamedTuple):
+    q_m_s: BigG1Affine
+    q_l_s: BigG1Affine
+    q_r_s: BigG1Affine
+    q_o_s: BigG1Affine
+    q_c_s: BigG1Affine
+    s1_s: BigG1Affine
+    s2_s: BigG1Affine
+    s3_s: BigG1Affine
+
+
+def make_vk_bn254(ctx: BN254Context, selectors, copies) -> BN254VK:
+    Fr = ctx.Fr
+    tabs = _host_tables(ctx.n, ctx.k1, ctx.k2, ctx.coset_shift)
+    table = jnp.stack([jnp.asarray(tabs["h"]), jnp.asarray(tabs["k1h"]),
+                       jnp.asarray(tabs["k2h"])])
+    copies = jnp.asarray(copies)
+    sig = [table[copies[i, :, 0], copies[i, :, 1] - 1] for i in range(3)]
+    sel = Fr.encode(jnp.asarray(selectors, U32))
+    stacked = jnp.stack([sel[3], sel[0], sel[1], sel[2], sel[4]] + sig)
+    polys = big_intt(Fr, stacked, ctx.omega)
+    cms = _commit_many(ctx, [polys[i] for i in range(8)])
+    Fq = ctx.Fq
+    pick = lambda i: BigG1Affine(Fq.decode(cms.x[i]), Fq.decode(cms.y[i]),
+                                 cms.inf[i])
+    return BN254VK(*[pick(i) for i in range(8)])
+
+
+def _aff_to_jac(Fq, p: BigG1Affine, mont: bool = False) -> BigG1J:
+    """Standard-form affine (or Montgomery if mont=True) -> Jacobian."""
+    x = p.x if mont else Fq.encode(p.x)
+    y = p.y if mont else Fq.encode(p.y)
+    one = jnp.broadcast_to(Fq.const(1), x.shape)
+    Z = jnp.where(p.inf[..., None], jnp.zeros_like(one), one)
+    return BigG1J(jnp.where(p.inf[..., None], one, x),
+                  jnp.where(p.inf[..., None], one, y), Z)
+
+
+def _std_bits(words: jnp.ndarray, nbits: int = FR_BITS) -> jnp.ndarray:
+    """(.., n_words) standard 16-bit words -> (..., nbits) bit array."""
+    idx = jnp.arange(nbits)
+    w = words[..., idx // 16]
+    return (w >> (idx % 16).astype(U32)) & 1
+
+
+def _g1_mul_std(Fq, p: BigG1J, scalar_words) -> BigG1J:
+    return big_jac_mul(Fq, p, _std_bits(scalar_words), FR_BITS)
+
+
+def verify_bn254(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
+                 challenge, public_inputs=None) -> bool:
+    """KZG verification with REAL BN254 pairings: the two checks
+    e(W, [tau]_2) == e(R, [1]_2) run as ONE batched Miller ratio + ONE
+    shared final exponentiation (models/plonk_scaled.py:965 structure,
+    production curve). The compiled callable caches ON the context."""
+    fn = getattr(ctx, "_verify_jit", None)
+    if fn is None:
+        fn = jax.jit(lambda v, p, c, pi: _verify_flags(ctx, v, p, c, pi))
+        object.__setattr__(ctx, "_verify_jit", fn)
+    pi = (jnp.zeros((ctx.n, FR_WORDS), U32) if public_inputs is None
+          else jnp.asarray(public_inputs, U32))
+    ok1, ok2 = fn(vk, proof, jnp.asarray(challenge, U32), pi)
+    return bool(ok1) and bool(ok2)
+
+
+def _verify_flags(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
+                  challenge, public_inputs):
+    Fr, Fq = ctx.Fr, ctx.Fq
+    n = ctx.n
+    tabs = _host_tables(n, ctx.k1, ctx.k2, ctx.coset_shift)
+    ch_std = jnp.asarray(challenge, U32)
+    ch = Fr.encode(ch_std)
+    alpha, beta, gamma, z, v = (ch[i] for i in range(5))
+    k1c, k2c = Fr.const(ctx.k1), Fr.const(ctx.k2)
+    enc, dec = Fr.encode, Fr.decode
+
+    a_z, b_z, c_z = enc(proof.a_z), enc(proof.b_z), enc(proof.c_z)
+    s1_z, s2_z = enc(proof.s_sigma_1_z), enc(proof.s_sigma_2_z)
+    r_z, zw_z = enc(proof.r_z), enc(proof.z_omega_z)
+    alpha_sq = Fr.mont_mul(alpha, alpha)
+
+    z_h_z = Fr.sub(Fr.pow_static_rolled(z, n), Fr.const(1))
+    n_inv = jnp.asarray(tabs["n_inv"])
+    l_1_z = Fr.mont_mul(Fr.mont_mul(z_h_z, n_inv),
+                        Fr.inv(Fr.sub(z, Fr.const(1))))
+
+    as1z = Fr.add(a_z, Fr.add(Fr.mont_mul(beta, s1_z), gamma))
+    bs2z = Fr.add(b_z, Fr.add(Fr.mont_mul(beta, s2_z), gamma))
+    r0 = Fr.add(
+        Fr.mont_mul(Fr.mont_mul(Fr.mont_mul(alpha,
+                                            Fr.mont_mul(as1z, bs2z)),
+                    Fr.add(c_z, gamma)), zw_z),
+        Fr.mont_mul(alpha_sq, l_1_z))
+    t_z_num = Fr.sub(r_z, r0)
+    if public_inputs is not None:
+        pi_v = Fr.encode(public_inputs)
+        h_mont = jnp.asarray(tabs["h"])
+        terms = Fr.mont_mul(Fr.mont_mul(pi_v, h_mont),
+                            Fr.inv(Fr.sub(z, h_mont)))
+        pi_z = Fr.mont_mul(Fr.mont_mul(z_h_z, n_inv),
+                           BPol.tree_sum(Fr, terms))
+        t_z_num = Fr.add(t_z_num, pi_z)
+    t_z = Fr.mont_mul(t_z_num, Fr.inv(z_h_z))
+
+    jac = lambda a: _aff_to_jac(Fq, a)
+    mulp = lambda pt, s_mont: _g1_mul_std(Fq, jac(pt), dec(s_mont))
+    add = lambda a, b: big_jac_add(Fq, a, b)
+    neg = lambda p: BigG1J(p.X, Fq.neg(p.Y), p.Z)
+
+    bz = Fr.mont_mul(beta, z)
+    azg = Fr.add(Fr.add(a_z, bz), gamma)
+    bzg = Fr.add(Fr.add(b_z, Fr.mont_mul(k1c, bz)), gamma)
+    czg = Fr.add(Fr.add(c_z, Fr.mont_mul(k2c, bz)), gamma)
+    z_coef = Fr.add(
+        Fr.mont_mul(Fr.mont_mul(Fr.mont_mul(azg, bzg), czg), alpha),
+        Fr.mont_mul(alpha_sq, l_1_z))
+    s3_coef = Fr.mont_mul(Fr.mont_mul(Fr.mont_mul(as1z, bs2z), alpha),
+                          Fr.mont_mul(beta, zw_z))
+    d_cm = mulp(vk.q_m_s, Fr.mont_mul(a_z, b_z))
+    d_cm = add(d_cm, mulp(vk.q_l_s, a_z))
+    d_cm = add(d_cm, mulp(vk.q_r_s, b_z))
+    d_cm = add(d_cm, mulp(vk.q_o_s, c_z))
+    d_cm = add(d_cm, jac(vk.q_c_s))
+    d_cm = add(d_cm, mulp(proof.z_s, z_coef))
+    d_cm = add(d_cm, neg(mulp(vk.s3_s, s3_coef)))
+
+    vp = [Fr.const(1), v]
+    for _ in range(5):
+        vp.append(Fr.mont_mul(vp[-1], v))
+    zpp = Fr.pow_static_rolled(z, n + 2)
+    f_cm = jac(proof.t_lo_s)
+    f_cm = add(f_cm, mulp(proof.t_mid_s, zpp))
+    f_cm = add(f_cm, mulp(proof.t_hi_s, Fr.mont_mul(zpp, zpp)))
+    f_cm = add(f_cm, _g1_mul_std(Fq, d_cm, dec(vp[1])))
+    f_cm = add(f_cm, mulp(proof.a_s, vp[2]))
+    f_cm = add(f_cm, mulp(proof.b_s, vp[3]))
+    f_cm = add(f_cm, mulp(proof.c_s, vp[4]))
+    f_cm = add(f_cm, mulp(vk.s1_s, vp[5]))
+    f_cm = add(f_cm, mulp(vk.s2_s, vp[6]))
+
+    e_scalar = t_z
+    for coef, val in ((vp[1], r_z), (vp[2], a_z), (vp[3], b_z),
+                      (vp[4], c_z), (vp[5], s1_z), (vp[6], s2_z)):
+        e_scalar = Fr.add(e_scalar, Fr.mont_mul(coef, val))
+    g = bn254_generator(Fq)
+    e_neg = neg(_g1_mul_std(Fq, g, dec(e_scalar)))
+
+    r1 = add(_g1_mul_std(Fq, jac(proof.w_z_s), ch_std[3]),
+             add(f_cm, e_neg))
+    zw_std = dec(Fr.mont_mul(z, Fr.const(ctx.omega)))
+    e2_neg = neg(_g1_mul_std(Fq, g, dec(zw_z)))
+    r2 = add(_g1_mul_std(Fq, jac(proof.w_z_omega_s), zw_std),
+             add(jac(proof.z_s), e2_neg))
+
+    # pairing ratio checks: accept_i iff e(W_i, [s]_2) == e(R_i, [1]_2),
+    # computed as e(W_i, [s]_2) * e(-R_i, [1]_2) == 1. ALL FOUR pairings
+    # ride one 4-lane Miller scan; the two ratios share ONE batched final
+    # exponentiation (the production sibling of
+    # plonk_scaled._pairing_ratio_checks).
+    Fp = BPair.pairing_field(rolled=True)
+    srs = ctx.srs
+    w1 = _aff_to_jac(Fq, proof.w_z_s)
+    w2 = _aff_to_jac(Fq, proof.w_z_omega_s)
+    st = lambda xs: jnp.stack(xs)
+    lanes = BigG1J(st([w1.X, neg(r1).X, w2.X, neg(r2).X]),
+                   st([w1.Y, neg(r1).Y, w2.Y, neg(r2).Y]),
+                   st([w1.Z, neg(r1).Z, w2.Z, neg(r2).Z]))
+    st2 = lambda cs: Fq2(st([c.c0 for c in cs]), st([c.c1 for c in cs]))
+    g2sx, g2sy = Fq2(srs.g2_sx.c0, srs.g2_sx.c1), Fq2(srs.g2_sy.c0,
+                                                      srs.g2_sy.c1)
+    g21x, g21y = Fq2(srs.g2_1x.c0, srs.g2_1x.c1), Fq2(srs.g2_1y.c0,
+                                                      srs.g2_1y.c1)
+    qx = st2([g2sx, g21x, g2sx, g21x])
+    qy = st2([g2sy, g21y, g2sy, g21y])
+    px, py, pinf = big_to_affine(Fp, lanes)
+    ml = BPair.miller_loop(Fp, px, py, qx, qy)
+    ml = BPair._sel_tree(pinf, Fq12.one(Fp, (4,)), ml)
+    lane = lambda i: jax.tree_util.tree_map(lambda t: t[i], ml)
+    ratios = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]),
+        f12_mul(Fp, lane(0), lane(1)), f12_mul(Fp, lane(2), lane(3)))
+    outs = BPair.final_exponentiation(Fp, ratios)
+    ok = f12_eq(Fp, outs, Fq12.one(Fp, (2,)))
+    return ok[0], ok[1]

@@ -1,0 +1,140 @@
+"""End-to-end PLONK over BN254 (models/plonk_bn254.py): prove + verify
+with real optimal-ate pairing checks at a small domain, commitment
+cross-check against a python-int KZG evaluation at the known test tau
+(the oracle style of src/plonk-test.c, production curve).
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+if not os.environ.get("PLONK_TPU_HEAVY_TESTS"):
+    pytest.skip("BN254 end-to-end graphs (16-limb prover + real-pairing "
+                "verifier) take on the order of an hour of XLA CPU "
+                "compile; set PLONK_TPU_HEAVY_TESTS=1 to run this lane "
+                "(results recorded in BENCH_NOTES.md)",
+                allow_module_level=True)
+
+import bn254_oracle as O
+from plonk_tpu.models import plonk_bn254 as PB
+from plonk_tpu.utils.params import BN254_FR
+
+R = BN254_FR.p
+N = 8
+SECRET = 987654321
+RNG = np.random.default_rng(7)
+
+
+def words(v, n=16):
+    return np.array([(int(v) >> (16 * k)) & 0xFFFF for k in range(n)],
+                    dtype=np.uint32)
+
+
+def words_vec(vals):
+    return np.stack([words(v) for v in vals])
+
+
+def from_words(w):
+    w = np.asarray(w, dtype=np.uint64)
+    v = 0
+    for k in range(w.shape[-1] - 1, -1, -1):
+        v = (v << 16) | int(w[k])
+    return v
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return PB.bn254_setup(N, secret=SECRET, rolled=True)
+
+
+@pytest.fixture(scope="module")
+def circuit():
+    """n mul gates c = a*b, identity copy permutation."""
+    a = [int.from_bytes(RNG.bytes(31), "little") % R for _ in range(N)]
+    b = [int.from_bytes(RNG.bytes(31), "little") % R for _ in range(N)]
+    c = [(x * y) % R for x, y in zip(a, b)]
+    sel = np.zeros((5, N, 16), dtype=np.uint32)
+    sel[3] = words_vec([1] * N)                     # q_m = 1
+    sel[2] = words_vec([R - 1] * N)                 # q_o = -1
+    copies = np.stack([
+        np.stack([np.full(N, t), np.arange(1, N + 1)], axis=-1)
+        for t in range(3)]).astype(np.int32)        # identity permutation
+    return (sel, copies, words_vec(a), words_vec(b), words_vec(c),
+            a, b, c)
+
+
+@pytest.fixture(scope="module")
+def proof_and_inputs(ctx, circuit):
+    sel, copies, aw, bw, cw, a, b, c = circuit
+    challenge = words_vec([111111, 222222, 333333, 444444, 555555])
+    rand9 = words_vec(list(range(17, 26)))
+    fn = jax.jit(lambda s, cp, x, y, z, ch, rd: PB.prove_bn254(
+        ctx, s, cp, x, y, z, ch, rd))
+    proof, diags = fn(sel, copies, aw, bw, cw, challenge, rand9)
+    return proof, diags, challenge, rand9
+
+
+class TestProver:
+    def test_diagnostics(self, proof_and_inputs):
+        _, diags, _, _ = proof_and_inputs
+        assert bool(np.asarray(diags.satisfied))
+        assert bool(np.asarray(diags.t_tail_zero))
+        assert bool(np.asarray(diags.w_z_rem_zero))
+        assert bool(np.asarray(diags.w_zw_rem_zero))
+
+    def test_wire_commitment_matches_kzg_oracle(self, proof_and_inputs,
+                                                circuit):
+        """a_s must equal [a_x(tau)] * G computed with python ints:
+        a_x = (b1 x + b2) z_H + sum_i a_i L_i(x), evaluated at the known
+        test tau via barycentric Lagrange."""
+        proof, _, _, rand9 = proof_and_inputs
+        _, _, _, _, _, a, _, _ = circuit
+        tau = SECRET % R
+        omega = BN254_FR.root_of_unity(N)
+        zh_tau = (pow(tau, N, R) - 1) % R
+        n_inv = pow(N, -1, R)
+        acc = 0
+        for i, ai in enumerate(a):
+            wi = pow(omega, i, R)
+            li = zh_tau * n_inv % R * wi % R * pow((tau - wi) % R, R - 2,
+                                                   R) % R
+            acc = (acc + ai * li) % R
+        b1, b2 = 17, 18                      # rand9[0], rand9[1]
+        a_tau = ((b1 * tau + b2) % R * zh_tau + acc) % R
+        exp = O.g1_mul(O.G1_GEN, a_tau)
+        got = (from_words(np.asarray(proof.a_s.x)),
+               from_words(np.asarray(proof.a_s.y)))
+        assert not bool(np.asarray(proof.a_s.inf))
+        assert got == exp
+
+
+class TestVerifier:
+    def test_accept(self, ctx, circuit, proof_and_inputs):
+        sel, copies = circuit[0], circuit[1]
+        proof, _, challenge, _ = proof_and_inputs
+        vk = PB.make_vk_bn254(ctx, sel, copies)
+        assert PB.verify_bn254(ctx, vk, proof, challenge)
+
+    def test_tamper_rejects(self, ctx, circuit, proof_and_inputs):
+        sel, copies = circuit[0], circuit[1]
+        proof, _, challenge, _ = proof_and_inputs
+        vk = PB.make_vk_bn254(ctx, sel, copies)
+        bad = proof._replace(a_z=jnp.asarray(
+            words((from_words(np.asarray(proof.a_z)) + 1) % R)))
+        assert not PB.verify_bn254(ctx, vk, bad, challenge)
+
+
+class TestFiatShamir:
+    def test_fs_roundtrip_and_tamper(self, ctx, circuit):
+        from plonk_tpu.models import fiat_shamir as FS
+        sel, copies, aw, bw, cw, _, _, _ = circuit
+        rand9 = words_vec(list(range(31, 40)))
+        fs = FS.BN254FsProver(ctx, sel, copies)
+        out, diags = fs.prove(aw, bw, cw, rand9)
+        assert bool(np.asarray(diags.satisfied))
+        assert bool(np.asarray(diags.t_tail_zero))
+        assert FS.verify_bn254_fs(ctx, fs.vk, out)
+        bad = FS.FsProof(out.proof, out.nonce + 1, out.challenge)
+        assert not FS.verify_bn254_fs(ctx, fs.vk, bad)
