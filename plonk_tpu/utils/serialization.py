@@ -103,3 +103,61 @@ def srs_from_bytes(data: bytes, mode: str = "unknown") -> SRS:
     assert off == len(data), "trailing bytes in srs"
     return SRS(g1s=G1(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(infs)),
                g2_1=g2[0], g2_s=g2[1], mode=mode)
+
+
+# ---------------- BN254 (multi-limb) proof format ----------------
+#
+# Word-array coordinates: magic "TPB2" | u16 version | u16 coord_bytes
+# (32 for BN254) | 9 points (x, y, inf byte) | 7 scalars. Values travel
+# as canonical little-endian integers reassembled from the (16,) 16-bit
+# word arrays the BN254 prover emits (models/plonk_bn254.py).
+
+
+def _from_words(w) -> int:
+    w = np.asarray(w, dtype=np.uint64)
+    v = 0
+    for k in range(w.shape[-1] - 1, -1, -1):
+        v = (int(v) << 16) | int(w[k])
+    return v
+
+
+def _to_words(v: int, n_words: int):
+    return np.array([(v >> (16 * k)) & 0xFFFF for k in range(n_words)],
+                    dtype=np.uint32)
+
+
+def bn254_proof_to_bytes(proof) -> bytes:
+    cb = 32
+    out = [b"TPB2", struct.pack("<HH", _VERSION, cb)]
+    for name in _POINTS:
+        pt = getattr(proof, name)
+        out.append(_from_words(pt.x).to_bytes(cb, "little"))
+        out.append(_from_words(pt.y).to_bytes(cb, "little"))
+        out.append(bytes([int(bool(np.asarray(pt.inf)))]))
+    for name in _SCALARS:
+        out.append(_from_words(getattr(proof, name)).to_bytes(
+            cb, "little"))
+    return b"".join(out)
+
+
+def bn254_proof_from_bytes(data: bytes):
+    import jax.numpy as jnp
+    from ..models.plonk_bn254 import BN254Proof, BigG1Affine
+    assert data[:4] == b"TPB2", "bad bn254 proof magic"
+    version, cb = struct.unpack("<HH", data[4:8])
+    assert version == _VERSION
+    nw = cb // 2
+    off = 8
+    vals = {}
+    for name in _POINTS:
+        x = int.from_bytes(data[off:off + cb], "little"); off += cb
+        y = int.from_bytes(data[off:off + cb], "little"); off += cb
+        inf = bool(data[off]); off += 1
+        vals[name] = BigG1Affine(jnp.asarray(_to_words(x, nw)),
+                                 jnp.asarray(_to_words(y, nw)),
+                                 jnp.asarray(inf))
+    for name in _SCALARS:
+        vals[name] = jnp.asarray(_to_words(int.from_bytes(
+            data[off:off + cb], "little"), nw)); off += cb
+    assert off == len(data), "trailing bytes in bn254 proof"
+    return BN254Proof(**vals)

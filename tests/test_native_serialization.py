@@ -159,3 +159,28 @@ def test_fiat_shamir_transcript_deterministic():
     assert all(0 < c < 17 for c in c1)
     c3 = derive(vals + 1)
     assert c1 != c3
+
+
+def test_bn254_proof_roundtrip():
+    """BN254 (multi-limb) proof byte format: canonical integers from the
+    16-word coordinate arrays, exact roundtrip incl. infinity flags."""
+    import numpy as np
+    import jax.numpy as jnp
+    from plonk_tpu.utils import serialization as S
+    from plonk_tpu.models.plonk_bn254 import BN254Proof, BigG1Affine
+
+    rng = np.random.default_rng(5)
+    w = lambda: jnp.asarray(rng.integers(0, 1 << 16, size=16,
+                                         dtype=np.uint32))
+    pt = lambda inf=False: BigG1Affine(w(), w(), jnp.asarray(bool(inf)))
+    proof = BN254Proof(pt(), pt(True), pt(), pt(), pt(), pt(), pt(),
+                       pt(), pt(), w(), w(), w(), w(), w(), w(), w())
+    back = S.bn254_proof_from_bytes(S.bn254_proof_to_bytes(proof))
+    for n in S._POINTS:
+        a, b = getattr(proof, n), getattr(back, n)
+        assert np.array_equal(np.asarray(a.x), np.asarray(b.x))
+        assert np.array_equal(np.asarray(a.y), np.asarray(b.y))
+        assert bool(a.inf) == bool(b.inf)
+    for n in S._SCALARS:
+        assert np.array_equal(np.asarray(getattr(proof, n)),
+                              np.asarray(getattr(back, n)))

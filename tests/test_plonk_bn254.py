@@ -138,3 +138,24 @@ class TestFiatShamir:
         assert FS.verify_bn254_fs(ctx, fs.vk, out)
         bad = FS.FsProof(out.proof, out.nonce + 1, out.challenge)
         assert not FS.verify_bn254_fs(ctx, fs.vk, bad)
+
+    def test_verify_many(self, ctx, circuit, proof_and_inputs):
+        """Batched verification: 2 lanes (same proof, two challenge
+        sets -> [True, True]); tamper in lane 0 rejects only lane 0."""
+        sel, copies = circuit[0], circuit[1]
+        proof, _, challenge, _ = proof_and_inputs
+        vk = PB.make_vk_bn254(ctx, sel, copies)
+        ch2 = words_vec([999999, 888888, 777777, 666666, 555555])
+        proof2, _ = jax.jit(lambda s, cp, x, y, z, ch, rd: PB.prove_bn254(
+            ctx, s, cp, x, y, z, ch, rd))(
+                sel, copies, circuit[2], circuit[3], circuit[4], ch2,
+                words_vec(list(range(17, 26))))
+        batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                       proof, proof2)
+        chs = jnp.stack([jnp.asarray(challenge), jnp.asarray(ch2)])
+        ok = PB.verify_bn254_many(ctx, vk, batch, chs)
+        assert np.asarray(ok).tolist() == [True, True]
+        tam = batch._replace(a_z=batch.a_z.at[0, 0].set(
+            (batch.a_z[0, 0] + 1) % (1 << 16)))
+        ok2 = PB.verify_bn254_many(ctx, vk, tam, chs)
+        assert np.asarray(ok2).tolist() == [False, True]
