@@ -183,21 +183,33 @@ def _commit_kernel(p: int, n_prime: int, one: int, enc2: int, enc3: int,
 
     @pl.when(d == n_d - 1)
     def _reduce():
+        # Tree-sum in VMEM. Slicing is kept 128-lane-aligned (misaligned
+        # sub-tile slices force Mosaic relayouts); below that width, and
+        # on the sublane (window) axis, partners come from rolls instead
+        # — lanes past the valid prefix compute garbage nobody reads.
         X, Y, Z = ax[:], ay[:], az[:]
         w = W
-        # window axis first (stays full-lane-width the whole way)
-        while w > 1:
+        while w > 1:                                  # window axis: rolls
             h = w // 2
-            lo = (X[:, :h], Y[:, :h], Z[:, :h])
-            hi = (X[:, h:w], Y[:, h:w], Z[:, h:w])
-            X, Y, Z = jadd(*lo, *hi)
+            Xp = pltpu.roll(X, W - h, 1)
+            Yp = pltpu.roll(Y, W - h, 1)
+            Zp = pltpu.roll(Z, W - h, 1)
+            X, Y, Z = jadd(X, Y, Z, Xp, Yp, Zp)
             w = h
         X, Y, Z = X[:, 0], Y[:, 0], Z[:, 0]           # (B, TL)
         t = TL
-        while t > 1:
+        while t > 128:                                # aligned halving
             h = t // 2
             X, Y, Z = jadd(X[:, :h], Y[:, :h], Z[:, :h],
                            X[:, h:t], Y[:, h:t], Z[:, h:t])
+            t = h
+        width = t                                     # <= 128 lanes now
+        while t > 1:                                  # lane axis: rolls
+            h = t // 2
+            Xp = pltpu.roll(X, width - h, 1)
+            Yp = pltpu.roll(Y, width - h, 1)
+            Zp = pltpu.roll(Z, width - h, 1)
+            X, Y, Z = jadd(X, Y, Z, Xp, Yp, Zp)
             t = h
         ox_ref[0, :] = X[:, 0]
         oy_ref[0, :] = Y[:, 0]

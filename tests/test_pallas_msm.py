@@ -60,3 +60,22 @@ def test_commit_pallas_infinity_base_points():
         assert bool(C.g1_equal(
             C.G1(got.x[i], got.y[i], got.inf[i]),
             C.G1(ref.x[i], ref.y[i], ref.inf[i]))), i
+
+
+def test_commit_pallas_wide_tile_slice_path():
+    """tile > 128 exercises the aligned lane-halving levels of the
+    in-kernel tree (narrow tiles go straight to the roll levels)."""
+    rng = np.random.default_rng(31)
+    n = 300
+    pts = _points(rng, n)
+    tbl = PM.build_commit_table(Ms, pts, BITS, window_bits=4)
+    sc = jnp.asarray(rng.integers(0, SCALED_CURVE.r, size=(2, n),
+                                  dtype=np.uint32))
+    got = PM.msm_fixed_base_many_pallas(Ms, tbl, sc, tile=256,
+                                        interpret=True)
+    ref_tbl = FB.build_fixed_base_table(Ms, pts, 7, BITS)
+    ref = FB.msm_fixed_base_many(Ms, ref_tbl, sc, mode="gather")
+    for i in range(2):
+        assert bool(C.g1_equal(
+            C.G1(got.x[i], got.y[i], got.inf[i]),
+            C.G1(ref.x[i], ref.y[i], ref.inf[i]))), i
