@@ -194,8 +194,10 @@ def _full2d_kernel(p: int, n_prime: int, n1: int, n2: int, mirror: bool,
         if dif:
             st = st[::-1]
         for half, s in st:
-            tv = tw_ref[s, :]
-            tv = tv[:, None] if axis == 0 else tv[None, :]
+            # axis-0 tables arrive pre-shaped (S, n1, 1) from the host —
+            # reshaping a lane vector to a sublane vector in-kernel would
+            # be a Mosaic relayout per stage
+            tv = tw_ref[s] if axis == 0 else tw_ref[s, :][None, :]
             in_low = (pos % (2 * half)) < half
             down = pltpu.roll(y, C - half, axis)
             up = pltpu.roll(y, half, axis)
@@ -234,7 +236,8 @@ def _onepass(F, x: jnp.ndarray, w: int, inverse: bool, mirror: bool,
     wq = pow(w, -1, F.p) if inverse else w
 
     tw1 = jnp.stack([F.array(t) for t in
-                     _stage_tables(F.p, pow(wq, n2, F.p), n1, n1)])
+                     _stage_tables(F.p, pow(wq, n2, F.p), n1, n1)]
+                    )[..., None]                     # (S1, n1, 1)
     tw2 = jnp.stack([F.array(t) for t in
                      _stage_tables(F.p, pow(wq, n1, F.p), n2, n2)])
     twm_nat = _twiddle_matrix(F.p, w, n1, n2, inverse)   # (n2, rev k1)
@@ -250,7 +253,7 @@ def _onepass(F, x: jnp.ndarray, w: int, inverse: bool, mirror: bool,
         kern,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((tw1.shape[0], n1), lambda b: (0, 0),
+            pl.BlockSpec((tw1.shape[0], n1, 1), lambda b: (0, 0, 0),
                          memory_space=mem),
             pl.BlockSpec((n1, n2), lambda b: (0, 0), memory_space=mem),
             pl.BlockSpec((tw2.shape[0], n2), lambda b: (0, 0),
