@@ -86,15 +86,92 @@ def bench_prover(ctx, log_n=16):
                       "proofs_per_s": round(1 / dt, 2)}), flush=True)
 
 
+def bench_pallas_commit(log_n=16):
+    """Fused Pallas commit kernel vs the XLA select sweep, same scalars;
+    on-device parity asserted."""
+    import os
+    from plonk_tpu.ops import fixed_base as FB
+    from plonk_tpu.ops import pallas_msm as PM
+    n = 1 << log_n
+    os.environ["PLONK_TPU_PALLAS_MSM"] = "1"
+    ctx = PS.scaled_new(n)
+    t0 = time.perf_counter()
+    ptbl = PS.fixed_base_table(ctx)              # narrow-window layout
+    print(f"pallas table build {log_n}: {time.perf_counter()-t0:.1f}s "
+          f"wb={ptbl.window_bits} shape={tuple(ptbl.x.shape)}", flush=True)
+    rng = np.random.default_rng(0)
+    sc = jnp.asarray(rng.integers(0, SCALED_FR.p, size=(9, n + 6),
+                                  dtype=np.uint32))
+    fnp = jax.jit(lambda tx, ty, ti, s: PM.msm_fixed_base_many_pallas(
+        ctx.Fq, FB.FixedBaseTable(tx, ty, ti, ptbl.window_bits), s))
+    dt = timeit(lambda s: fnp(ptbl.x, ptbl.y, ptbl.inf, s), sc)
+    print(json.dumps({"commit9_mode": "pallas-fused", "log_n": log_n,
+                      "wb": ptbl.window_bits,
+                      "ms": round(dt * 1000, 2)}), flush=True)
+    # parity + select-path comparison on the same context
+    os.environ["PLONK_TPU_PALLAS_MSM"] = "0"
+    ctx2 = PS.scaled_new(n)
+    stbl = PS.fixed_base_table(ctx2)
+    fns = jax.jit(lambda tx, ty, ti, s: FB.msm_fixed_base_many(
+        ctx.Fq, FB.FixedBaseTable(tx, ty, ti, stbl.window_bits), s,
+        mode="select"))
+    got = fnp(ptbl.x, ptbl.y, ptbl.inf, sc)
+    ref = fns(stbl.x, stbl.y, stbl.inf, sc)
+    ok = (bool(jnp.array_equal(got.x, ref.x))
+          and bool(jnp.array_equal(got.y, ref.y))
+          and bool(jnp.array_equal(got.inf, ref.inf)))
+    dt2 = timeit(lambda s: fns(stbl.x, stbl.y, stbl.inf, s), sc)
+    print(json.dumps({"commit9_mode": "select", "log_n": log_n,
+                      "ms": round(dt2 * 1000, 2),
+                      "pallas_parity_on_device": ok}), flush=True)
+    assert ok, "pallas commit parity failed on device"
+    os.environ["PLONK_TPU_PALLAS_MSM"] = "1"
+
+
+def bench_onepass_ntt(log_n=19, batch=6):
+    """One-kernel whole transform vs the five-step fused path (the
+    prover's 8n stack shape: batch ~6 transforms at 8n)."""
+    from plonk_tpu.ops import fused_ntt as FN
+    M = MontField(SCALED_FR)
+    n = 1 << log_n
+    w = SCALED_FR.root_of_unity(n)
+    rng = np.random.default_rng(0)
+    x = M.encode(np.asarray(rng.integers(0, M.p, size=(batch, n),
+                                         dtype=np.uint32)))
+    f1 = jax.jit(lambda v: FN.fused_ntt_1k(M, v, w))
+    f5 = jax.jit(lambda v: FN.fused_ntt(M, v, w))
+    out1, out5 = f1(x), f5(x)
+    ok = bool(jnp.array_equal(out1, out5))
+    i1 = jax.jit(lambda v: FN.fused_intt_1k(M, v, w))
+    i5 = jax.jit(lambda v: FN.fused_intt(M, v, w))
+    iok = bool(jnp.array_equal(i1(out1), i5(out5)))
+    print(json.dumps({
+        "onepass_fwd_ms": round(timeit(f1, x) * 1000, 3),
+        "fivestep_fwd_ms": round(timeit(f5, x) * 1000, 3),
+        "onepass_inv_ms": round(timeit(i1, out1) * 1000, 3),
+        "fivestep_inv_ms": round(timeit(i5, out5) * 1000, 3),
+        "log_n": log_n, "batch": batch,
+        "parity_fwd": ok, "parity_inv": iok}), flush=True)
+    assert ok and iok, "onepass parity failed on device"
+
+
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
 if which in ("all", "ntt"):
     bench_fused_ntt()
+if which in ("all", "ntt1k"):
+    bench_onepass_ntt()
+if which in ("all", "pallasmsm"):
+    bench_pallas_commit(16)
 if which in ("all", "msm"):
     # NOTE: "gather" mode faults the TPU at 2^16 (905MB table + per-element
     # gather) — keep it out of the prove lane so it cannot wedge the chip.
     ctx = bench_commit_paths(16)
 if which == "prove":
     ctx = bench_commit_paths(16, modes=("select",))
+    bench_prover(ctx, 16)
+if which == "prove3":
+    # round-3 kernels: onepass NTT prims + pallas commit (the defaults)
+    ctx = PS.scaled_new(1 << 16)
     bench_prover(ctx, 16)
 
 
