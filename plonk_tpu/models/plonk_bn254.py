@@ -564,8 +564,70 @@ def verify_bn254(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
     return bool(ok1) and bool(ok2)
 
 
-def _verify_flags(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
-                  challenge, public_inputs):
+def verify_bn254_many(ctx: BN254Context, vk: BN254VK, proofs: BN254Proof,
+                      challenges, public_inputs=None) -> jnp.ndarray:
+    """Batched verification: every BN254Proof leaf carries a leading
+    batch axis, challenges is (B, 5, 16). The scalar/G1 algebra is
+    vmapped; ALL 4B Miller loops ride one scan and the 2B pairing ratios
+    share ONE batched final exponentiation (the production sibling of
+    plonk_scaled.verify_scaled_many; generalizes the reference primitive
+    src/pairing.h:66-83). Returns a (B,) bool array. The compiled
+    callable caches ON the context keyed by batch shape."""
+    import jax
+
+    B = int(jnp.asarray(challenges).shape[0])
+    cache = getattr(ctx, "_verify_many_jit", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(ctx, "_verify_many_jit", cache)
+    fn = cache.get(B)
+    if fn is None:
+        def run(v, ps, cs, pi):
+            w1, nr1, w2, nr2 = jax.vmap(
+                lambda p, c: _verify_points(ctx, v, p, c, pi))(ps, cs)
+            # lane layout: [w1_0..w1_{B-1}, nr1_*, w2_*, nr2_*]
+            cat = lambda f: jnp.concatenate(
+                [f(w1), f(nr1), f(w2), f(nr2)])
+            lanes = BigG1J(cat(lambda q: q.X), cat(lambda q: q.Y),
+                           cat(lambda q: q.Z))
+            Fp = BPair.pairing_field(rolled=True)
+            srs = ctx.srs
+            rep = lambda c: Fq2(
+                jnp.broadcast_to(c.c0, (B,) + c.c0.shape),
+                jnp.broadcast_to(c.c1, (B,) + c.c1.shape))
+            g2sx = rep(Fq2(srs.g2_sx.c0, srs.g2_sx.c1))
+            g2sy = rep(Fq2(srs.g2_sy.c0, srs.g2_sy.c1))
+            g21x = rep(Fq2(srs.g2_1x.c0, srs.g2_1x.c1))
+            g21y = rep(Fq2(srs.g2_1y.c0, srs.g2_1y.c1))
+            cat2 = lambda a, b, c, d: Fq2(
+                jnp.concatenate([a.c0, b.c0, c.c0, d.c0]),
+                jnp.concatenate([a.c1, b.c1, c.c1, d.c1]))
+            qx = cat2(g2sx, g21x, g2sx, g21x)
+            qy = cat2(g2sy, g21y, g2sy, g21y)
+            px, py, pinf = big_to_affine(Fp, lanes)
+            ml = BPair.miller_loop(Fp, px, py, qx, qy)
+            ml = BPair._sel_tree(pinf, Fq12.one(Fp, (4 * B,)), ml)
+            seg = lambda i: jax.tree_util.tree_map(
+                lambda t: t[i * B:(i + 1) * B], ml)
+            ratios = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b]),
+                f12_mul(Fp, seg(0), seg(1)), f12_mul(Fp, seg(2), seg(3)))
+            outs = BPair.final_exponentiation(Fp, ratios)
+            ok = f12_eq(Fp, outs, Fq12.one(Fp, (2 * B,)))
+            return jnp.logical_and(ok[:B], ok[B:])
+
+        fn = jax.jit(run)
+        cache[B] = fn
+    pi = (jnp.zeros((ctx.n, FR_WORDS), U32) if public_inputs is None
+          else jnp.asarray(public_inputs, U32))
+    return fn(vk, proofs, jnp.asarray(challenges, U32), pi)
+
+
+def _verify_points(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
+                   challenge, public_inputs):
+    """Scalar + G1 reduction of the two KZG checks -> the four pairing
+    lane points (W_z, -R_1, W_zw, -R_2), all Jacobian. vmappable over a
+    proof batch (verify_bn254_many)."""
     Fr, Fq = ctx.Fr, ctx.Fq
     n = ctx.n
     tabs = _host_tables(n, ctx.k1, ctx.k2, ctx.coset_shift)
@@ -652,7 +714,15 @@ def _verify_flags(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
     e2_neg = neg(_g1_mul_std(Fq, g, dec(zw_z)))
     r2 = add(_g1_mul_std(Fq, jac(proof.w_z_omega_s), zw_std),
              add(jac(proof.z_s), e2_neg))
+    return (_aff_to_jac(Fq, proof.w_z_s), neg(r1),
+            _aff_to_jac(Fq, proof.w_z_omega_s), neg(r2))
 
+
+def _verify_flags(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
+                  challenge, public_inputs):
+    Fq = ctx.Fq
+    w1, nr1, w2, nr2 = _verify_points(ctx, vk, proof, challenge,
+                                      public_inputs)
     # pairing ratio checks: accept_i iff e(W_i, [s]_2) == e(R_i, [1]_2),
     # computed as e(W_i, [s]_2) * e(-R_i, [1]_2) == 1. ALL FOUR pairings
     # ride one 4-lane Miller scan; the two ratios share ONE batched final
@@ -660,12 +730,10 @@ def _verify_flags(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
     # plonk_scaled._pairing_ratio_checks).
     Fp = BPair.pairing_field(rolled=True)
     srs = ctx.srs
-    w1 = _aff_to_jac(Fq, proof.w_z_s)
-    w2 = _aff_to_jac(Fq, proof.w_z_omega_s)
     st = lambda xs: jnp.stack(xs)
-    lanes = BigG1J(st([w1.X, neg(r1).X, w2.X, neg(r2).X]),
-                   st([w1.Y, neg(r1).Y, w2.Y, neg(r2).Y]),
-                   st([w1.Z, neg(r1).Z, w2.Z, neg(r2).Z]))
+    lanes = BigG1J(st([w1.X, nr1.X, w2.X, nr2.X]),
+                   st([w1.Y, nr1.Y, w2.Y, nr2.Y]),
+                   st([w1.Z, nr1.Z, w2.Z, nr2.Z]))
     st2 = lambda cs: Fq2(st([c.c0 for c in cs]), st([c.c1 for c in cs]))
     g2sx, g2sy = Fq2(srs.g2_sx.c0, srs.g2_sx.c1), Fq2(srs.g2_sy.c0,
                                                       srs.g2_sy.c1)
