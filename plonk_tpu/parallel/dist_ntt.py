@@ -104,11 +104,29 @@ def transposed_perm(n: int, n_dev: int) -> np.ndarray:
     return (k1 + n1 * k2).reshape(-1)
 
 
+
+def _a2a(x, axis: str, n_dev: int, split_axis: int, concat_axis: int,
+         exchange: str):
+    """The transpose exchange: XLA collective (default) or the
+    concurrent direct-RDMA Pallas kernel (pallas_collectives.py);
+    "pallas_sim"/"pallas_races" run that kernel on the TPU interpret
+    machine (CPU-testable). Bit-identical layouts."""
+    if exchange == "xla":
+        return jax.lax.all_to_all(x, axis, split_axis=split_axis,
+                                  concat_axis=concat_axis, tiled=True)
+    from .pallas_collectives import all_to_all_in_body
+    mode = {"pallas": None, "pallas_sim": "sim",
+            "pallas_races": "races"}[exchange]
+    return all_to_all_in_body(axis, n_dev, x, split_axis, concat_axis,
+                              mode)
+
+
 def _spec(nbatch: int, axis: str) -> P:
     return P(*((None,) * nbatch + (axis,)))
 
 
-def _fwd_local(F, x_loc, *, w, n1, n2, n_dev, axis, inverse):
+def _fwd_local(F, x_loc, *, w, n1, n2, n_dev, axis, inverse,
+               exchange="xla"):
     """Per-device body of the four-step transform. x_loc: batch +
     (n1/n_dev, n2) rows of the natural-order matrix. Returns rows of the
     (k1, k2) result matrix, same shape."""
@@ -116,8 +134,7 @@ def _fwd_local(F, x_loc, *, w, n1, n2, n_dev, axis, inverse):
     d = jax.lax.axis_index(axis)
     wq = pow(w, -1, F.p) if inverse else w
     # 1. transpose: -> batch + (n1, n2/n_dev) full columns
-    cols = jax.lax.all_to_all(x_loc, axis, split_axis=nb + 1,
-                              concat_axis=nb, tiled=True)
+    cols = _a2a(x_loc, axis, n_dev, nb + 1, nb, exchange)
     # 2. local column transform (axis -2), root w^{n2} of order n1
     cols_t = local_ntt(F, cols.swapaxes(-1, -2),
                        pow(wq, n2, F.p)).swapaxes(-1, -2)
@@ -125,8 +142,7 @@ def _fwd_local(F, x_loc, *, w, n1, n2, n_dev, axis, inverse):
     tw_all = F.array(_twiddle_all(F.p, w, n1, n2, n_dev, inverse))
     cols_t = F.mul(cols_t, tw_all[d])
     # 4. transpose back: -> batch + (n1/n_dev, n2) rows (rows = k1 chunks)
-    rows = jax.lax.all_to_all(cols_t, axis, split_axis=nb,
-                              concat_axis=nb + 1, tiled=True)
+    rows = _a2a(cols_t, axis, n_dev, nb, nb + 1, exchange)
     # 5. local row transform (axis -1), root w^{n1} of order n2
     return local_ntt(F, rows, pow(wq, n1, F.p))
 
@@ -146,7 +162,7 @@ def _cached_shmap(key, build):
 
 
 def dist_ntt(F, mesh: Mesh, x, w: int, axis: str = "sp",
-             inverse: bool = False):
+             inverse: bool = False, exchange: str = "xla"):
     """Forward (or unscaled-inverse) transform of an array of shape
     batch + (n,) sharded on the last axis. Input natural order; output in
     (k1, k2) transposed layout, sharded the same way."""
@@ -160,13 +176,15 @@ def dist_ntt(F, mesh: Mesh, x, w: int, axis: str = "sp",
         def body(x_loc):
             loc = x_loc.reshape(batch + (n1 // n_dev, n2))
             out = _fwd_local(F, loc, w=w, n1=n1, n2=n2, n_dev=n_dev,
-                             axis=axis, inverse=inverse)
+                             axis=axis, inverse=inverse,
+                             exchange=exchange)
             return out.reshape(batch + (n // n_dev,))
 
         return jax.shard_map(body, mesh=mesh, in_specs=_spec(nb, axis),
                              out_specs=_spec(nb, axis), check_vma=False)
 
-    f = _cached_shmap(("fwd", F.p, mesh, axis, batch, n, w, inverse), build)
+    f = _cached_shmap(("fwd", F.p, mesh, axis, batch, n, w, inverse,
+                       exchange), build)
     return f(x)
 
 
@@ -193,7 +211,8 @@ def _untranspose(F, mesh, y, n1, n2, axis):
     return f(y)
 
 
-def dist_intt(F, mesh: Mesh, y, w: int, axis: str = "sp"):
+def dist_intt(F, mesh: Mesh, y, w: int, axis: str = "sp",
+              exchange: str = "xla"):
     """Inverse of dist_ntt: input in (k1, k2) layout, output natural-order
     coefficients (scaled by 1/n). Runs the forward steps backwards with
     inverse roots/twiddles — so a fwd/pointwise/inv chain costs exactly four
@@ -211,8 +230,7 @@ def dist_intt(F, mesh: Mesh, y, w: int, axis: str = "sp"):
         # undo step 5: inverse row transform (root (w^{n1})^{-1}, unscaled)
         rows = local_ntt(F, rows, pow(w_inv, n1, F.p))   # cols now i2
         # undo step 4: -> batch + (n1, n2/n_dev) full columns
-        cols = jax.lax.all_to_all(rows, axis, split_axis=nb + 1,
-                                  concat_axis=nb, tiled=True)
+        cols = _a2a(rows, axis, n_dev, nb + 1, nb, exchange)
         # undo step 3: inverse twiddle w^{-i2 k1}
         tw_all = F.array(_twiddle_all(F.p, w, n1, n2, n_dev, True))
         cols = F.mul(cols, tw_all[d])
@@ -220,15 +238,15 @@ def dist_intt(F, mesh: Mesh, y, w: int, axis: str = "sp"):
         cols = local_ntt(F, cols.swapaxes(-1, -2),
                          pow(w_inv, n2, F.p)).swapaxes(-1, -2)
         # undo step 1: -> batch + (n1/n_dev, n2) natural-order rows
-        nat = jax.lax.all_to_all(cols, axis, split_axis=nb,
-                                 concat_axis=nb + 1, tiled=True)
+        nat = _a2a(cols, axis, n_dev, nb, nb + 1, exchange)
         return nat.reshape(batch + (n // n_dev,))
 
     def build():
         return jax.shard_map(body, mesh=mesh, in_specs=_spec(nb, axis),
                              out_specs=_spec(nb, axis), check_vma=False)
 
-    f = _cached_shmap(("inv", F.p, mesh, axis, batch, n, w), build)
+    f = _cached_shmap(("inv", F.p, mesh, axis, batch, n, w, exchange),
+                      build)
     out = f(y)
     return F.mul(out, F.const(pow(n, -1, F.p)))
 
