@@ -188,7 +188,7 @@ def dist_ntt(F, mesh: Mesh, x, w: int, axis: str = "sp",
     return f(x)
 
 
-def _untranspose(F, mesh, y, n1, n2, axis):
+def _untranspose(F, mesh, y, n1, n2, axis, exchange="xla"):
     """(k1, k2) layout -> natural order k = k1 + n1*k2 (one all_to_all +
     local transpose)."""
     n_dev = mesh.shape[axis]
@@ -198,8 +198,7 @@ def _untranspose(F, mesh, y, n1, n2, axis):
     def build():
         def body(y_loc):
             rows = y_loc.reshape(batch + (n1 // n_dev, n2))  # k1 rows
-            cols = jax.lax.all_to_all(rows, axis, split_axis=nb + 1,
-                                      concat_axis=nb, tiled=True)
+            cols = _a2a(rows, axis, n_dev, nb + 1, nb, exchange)
             # natural order as (k2, k1) row-major: transpose locally
             return cols.swapaxes(-1, -2).reshape(
                 batch + (n1 * n2 // n_dev,))
@@ -207,7 +206,8 @@ def _untranspose(F, mesh, y, n1, n2, axis):
         return jax.shard_map(body, mesh=mesh, in_specs=_spec(nb, axis),
                              out_specs=_spec(nb, axis), check_vma=False)
 
-    f = _cached_shmap(("untrans", F.p, mesh, axis, batch, n1, n2), build)
+    f = _cached_shmap(("untrans", F.p, mesh, axis, batch, n1, n2,
+                       exchange), build)
     return f(y)
 
 
@@ -259,11 +259,13 @@ def dist_ntt_mul(F, mesh: Mesh, a, b, w: int, axis: str = "sp"):
     return dist_intt(F, mesh, F.mul(fa, fb), w, axis)
 
 
-def dist_interpolate(F, mesh: Mesh, values, w: int, axis: str = "sp"):
+def dist_interpolate(F, mesh: Mesh, values, w: int, axis: str = "sp",
+                     exchange: str = "xla"):
     """Natural-order INTT (the distributed interpolate_at_h)."""
     n = values.shape[-1]
     n_dev = mesh.shape[axis]
     n1, n2 = _split(n, n_dev)
-    y = dist_ntt(F, mesh, values, w, axis, inverse=True)
-    y = _untranspose(F, mesh, y, n1, n2, axis)
+    y = dist_ntt(F, mesh, values, w, axis, inverse=True,
+                 exchange=exchange)
+    y = _untranspose(F, mesh, y, n1, n2, axis, exchange)
     return F.mul(y, F.const(pow(n, -1, F.p)))

@@ -109,8 +109,12 @@ def dist_commit_many(ctx, mesh: Mesh, coeff_list, axis: str = "sp") -> G1:
     return jac_to_affine(Fq, G1J(X, Y, Z))
 
 
-def make_dist_prims(ctx, mesh: Mesh, axis: str = "sp") -> PS.ProverPrims:
-    """ProverPrims running every heavy kernel sharded over `axis`."""
+def make_dist_prims(ctx, mesh: Mesh, axis: str = "sp",
+                    exchange: str = "xla") -> PS.ProverPrims:
+    """ProverPrims running every heavy kernel sharded over `axis`.
+    exchange: "xla" (lax collectives) or "pallas" (remote-DMA kernels,
+    parallel/pallas_collectives.py) for the NTT transposes and the
+    grand-product totals exchange; bit-identical proofs either way."""
     m = ctx.domain8
     n_dev = mesh.shape[axis]
     perm = DN.transposed_perm(m, n_dev)
@@ -118,12 +122,15 @@ def make_dist_prims(ctx, mesh: Mesh, axis: str = "sp") -> PS.ProverPrims:
     def grand_product(F, fractions):
         one = jnp.broadcast_to(F.ones(), (1,)).astype(U32)
         padded = jnp.concatenate([fractions, one])
-        return dist_grand_product(F, mesh, padded, axis)
+        return dist_grand_product(F, mesh, padded, axis, exchange)
 
     return PS.ProverPrims(
-        intt_n=lambda F, x, w: DN.dist_interpolate(F, mesh, x, w, axis),
-        ntt8=lambda F, x, w: DN.dist_ntt(F, mesh, x, w, axis),
-        intt8=lambda F, x, w: DN.dist_intt(F, mesh, x, w, axis),
+        intt_n=lambda F, x, w: DN.dist_interpolate(F, mesh, x, w, axis,
+                                                    exchange=exchange),
+        ntt8=lambda F, x, w: DN.dist_ntt(F, mesh, x, w, axis,
+                                         exchange=exchange),
+        intt8=lambda F, x, w: DN.dist_intt(F, mesh, x, w, axis,
+                                           exchange=exchange),
         grand_product=grand_product,
         commit_many=lambda c, lst: dist_commit_many(c, mesh, lst, axis),
         perm8=lambda tbl: tbl[perm])
