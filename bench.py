@@ -283,6 +283,57 @@ def bench_bn254_prover(log_n: int = 10):
     return 1.0 / secs
 
 
+def bench_bn254_verify_many(log_n: int = 6, batch: int = 8):
+    """Batched BN254 verification throughput: B proofs of the SAME
+    circuit share one 4B-lane Miller scan and one final exponentiation
+    (plonk_bn254.verify_bn254_many). Returns verifications/s."""
+    import jax
+    import jax.numpy as jnp
+    from plonk_tpu.models import plonk_bn254 as PB
+    from plonk_tpu.utils.params import BN254_FR
+
+    n = 1 << log_n
+    R = BN254_FR.p
+    ctx = PB.bn254_setup(n, rolled=True)
+    rng = np.random.default_rng(1)
+
+    def words_vec(vals):
+        return np.stack([np.array([(int(v) >> (16 * k)) & 0xFFFF
+                                   for k in range(16)], dtype=np.uint32)
+                         for v in vals])
+
+    a = [int.from_bytes(rng.bytes(31), "little") % R for _ in range(n)]
+    b = [int.from_bytes(rng.bytes(31), "little") % R for _ in range(n)]
+    c = [(x * y) % R for x, y in zip(a, b)]
+    sel = np.zeros((5, n, 16), dtype=np.uint32)
+    sel[3] = words_vec([1] * n)
+    sel[2] = words_vec([R - 1] * n)
+    copies = np.stack([
+        np.stack([np.full(n, t), np.arange(1, n + 1)], axis=-1)
+        for t in range(3)]).astype(np.int32)
+    aw, bw, cw = words_vec(a), words_vec(b), words_vec(c)
+    rnd = words_vec(list(range(17, 26)))
+    vk = PB.make_vk_bn254(ctx, sel, copies)
+    prove = jax.jit(lambda ch_: PB.prove_bn254(
+        ctx, sel, copies, aw, bw, cw, ch_, rnd))
+    proofs, chs = [], []
+    for i in range(batch):
+        ch = words_vec([111111 + i, 222222 + i, 333333 + i, 444444 + i,
+                        555555 + i])
+        proof, diags = prove(ch)
+        assert bool(diags.all_ok())
+        proofs.append(proof)
+        chs.append(ch)
+    import jax.tree_util as jtu
+    pb = jtu.tree_map(lambda *xs: jnp.stack(xs), *proofs)
+    chb = jnp.stack([jnp.asarray(c_) for c_ in chs])
+    fn = lambda: PB.verify_bn254_many(ctx, vk, pb, chb)
+    ok = fn()
+    assert np.asarray(ok).all(), "bn254 verify bench rejected"
+    secs, _ = _timeit(lambda _x: fn(), jnp.zeros(()), reps=3)
+    return batch / secs
+
+
 def bench_scaled_batched(log_n: int = 12, batch: int = 16):
     """Throughput mode: vmapped scaled proofs over independent witnesses
     at 2^log_n gates (VERDICT round-1 item 7). Returns proofs/s."""
@@ -378,6 +429,11 @@ def main():
             bench_bn254_prover(log_n), 3)
     except Exception as e:
         extras["bn254_prover_error"] = str(e)[:200]
+    try:
+        extras["bn254_verify_many_b8_per_s"] = round(
+            bench_bn254_verify_many(), 3)
+    except Exception as e:
+        extras["bn254_verify_error"] = str(e)[:200]
 
     result = {
         "metric": "plonk_proofs_per_s_canonical",

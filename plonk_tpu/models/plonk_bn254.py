@@ -91,6 +91,37 @@ class BN254Diagnostics(NamedTuple):
                                   self.w_z_rem_zero, self.w_zw_rem_zero]))
 
 
+class BN254Prims(NamedTuple):
+    """Pluggable heavy kernels of the BN254 prover — the production-curve
+    sibling of plonk_scaled.ProverPrims. parallel/dist_bn254.py swaps in
+    mesh-sharded implementations without touching protocol code.
+
+    intt_n / ntt4n / intt4n: transforms over batch + (n or 4n, limbs),
+    natural-order in/out for the intt_n pair; ntt4n may leave ANY fixed
+    evaluation layout as long as intt4n consumes it and perm4n aligns
+    position-indexed tables (the coset points) to it.
+    grand_product: (F, fractions (n-1, limbs)) -> accumulator (n, limbs)
+    = [1, prefix products...].
+    commit_many: coefficient list -> BigG1Affine batch."""
+    intt_n: object
+    ntt4n: object
+    intt4n: object
+    grand_product: object
+    commit_many: object
+    perm4n: object
+
+
+def _local_prims(ctx) -> BN254Prims:
+    return BN254Prims(
+        intt_n=lambda F, x: big_intt(F, x, ctx.omega),
+        ntt4n=lambda F, x: big_ntt(F, x, ctx.omega4),
+        intt4n=lambda F, x: big_intt(F, x, ctx.omega4),
+        grand_product=lambda F, fr: jnp.concatenate(
+            [F.ones((1,)), BPol.prefix_prod_chunked(F, fr)]),
+        commit_many=lambda coeffs: _commit_many(ctx, coeffs),
+        perm4n=lambda tbl: tbl)
+
+
 @dataclasses.dataclass(frozen=True)
 class BN254Context:
     srs: BN254SRS
@@ -212,7 +243,7 @@ def _host_tables(n: int, k1: int, k2: int, shift: int):
 
 
 def _stage_prep(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
-                rand9, public_inputs):
+                rand9, public_inputs, prims: BN254Prims | None = None):
     """Encode, witness check, sigma gathers, 12 batched interpolations,
     round-1 blinding (src/plonk.h:231-301 structure)."""
     Fr = ctx.Fr
@@ -241,7 +272,8 @@ def _stage_prep(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
 
     stacked = jnp.stack([a_v, b_v, c_v, q_o_v, q_m_v, q_l_v, q_r_v, q_c_v,
                          sigma_1, sigma_2, sigma_3, pi_v])
-    polys = big_intt(Fr, stacked, ctx.omega)
+    prims = prims or _local_prims(ctx)
+    polys = prims.intt_n(Fr, stacked)
     (f_a_x, f_b_x, f_c_x, q_o_x, q_m_x, q_l_x, q_r_x, q_c_x,
      s_sigma_1, s_sigma_2, s_sigma_3, pi_x) = (polys[i] for i in range(12))
 
@@ -262,7 +294,8 @@ def _stage_prep(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
         pi_x=pi_x, h_mont=jnp.asarray(tabs["h"]))
 
 
-def _stage_grand_product(ctx: BN254Context, st, beta, gamma):
+def _stage_grand_product(ctx: BN254Context, st, beta, gamma,
+                         prims: BN254Prims | None = None):
     Fr = ctx.Fr
     n = ctx.n
     tabs = _host_tables(n, ctx.k1, ctx.k2, ctx.coset_shift)
@@ -289,10 +322,10 @@ def _stage_grand_product(ctx: BN254Context, st, beta, gamma):
     denominator_ok = jnp.logical_and(
         jnp.all(jnp.any(numer != 0, axis=-1)),
         jnp.all(jnp.any(denom != 0, axis=-1)))
+    prims = prims or _local_prims(ctx)
     fractions = Fr.mont_mul(denom, Fr.inv(numer))
-    scan = BPol.prefix_prod_chunked(Fr, fractions)
-    acc = jnp.concatenate([Fr.ones((1,)), scan])
-    acc_x = big_intt(Fr, acc, ctx.omega)
+    acc = prims.grand_product(Fr, fractions)
+    acc_x = prims.intt_n(Fr, acc)
 
     rnd = st["rnd"]
     out = jnp.zeros((n + 3, Fr.limbs), U32)
@@ -303,7 +336,8 @@ def _stage_grand_product(ctx: BN254Context, st, beta, gamma):
     return BPol.padd(Fr, out, acc_x), denominator_ok
 
 
-def _stage_quotient(ctx: BN254Context, st, z_x, alpha, beta, gamma):
+def _stage_quotient(ctx: BN254Context, st, z_x, alpha, beta, gamma,
+                    prims: BN254Prims | None = None):
     Fr = ctx.Fr
     n = ctx.n
     m = 4 * n
@@ -316,7 +350,8 @@ def _stage_quotient(ctx: BN254Context, st, z_x, alpha, beta, gamma):
 
     z_omega_x = Fr.mont_mul(z_x, omega_pows_z[:z_x.shape[-2]])
     e0 = jnp.zeros((n, Fr.limbs), U32).at[0].set(Fr.const(1))
-    l_1_x = big_intt(Fr, e0, ctx.omega)
+    prims = prims or _local_prims(ctx)
+    l_1_x = prims.intt_n(Fr, e0)
     zh = jnp.zeros((n + 1, Fr.limbs), U32)
     zh_coeffs = zh.at[0].set(Fr.neg(Fr.const(1))).at[n].set(Fr.const(1))
     stack16 = jnp.stack([BPol.pad_to(c, m) for c in
@@ -325,11 +360,11 @@ def _stage_quotient(ctx: BN254Context, st, z_x, alpha, beta, gamma):
                           st["q_m_x"], st["q_c_x"], st["s_sigma_1"],
                           st["s_sigma_2"], st["s_sigma_3"], l_1_x,
                           zh_coeffs, st["pi_x"])])
-    evs = big_ntt(Fr, Fr.mont_mul(stack16, shift_pows), w8)
+    evs = prims.ntt4n(Fr, Fr.mont_mul(stack16, shift_pows))
     (a_e, b_e, c_e, z_e, zw_e, ql_e, qr_e, qo_e, qm_e, qc_e,
      s1_e, s2_e, s3_e, l1_e, zh_e, pi_e) = (evs[i] for i in range(16))
 
-    pts = jnp.asarray(tabs["coset_pts"])
+    pts = prims.perm4n(jnp.asarray(tabs["coset_pts"]))
     t1 = Fr.add(
         Fr.add(Fr.mont_mul(Fr.mont_mul(a_e, b_e), qm_e),
                Fr.add(Fr.mont_mul(a_e, ql_e), pi_e)),
@@ -350,7 +385,7 @@ def _stage_quotient(ctx: BN254Context, st, z_x, alpha, beta, gamma):
     t4 = Fr.mont_mul(Fr.mont_mul(Fr.sub(z_e, Fr.const(1)), alpha_sq), l1_e)
     t_num_e = Fr.add(Fr.sub(Fr.add(t1, t2), t3), t4)
     t_e = Fr.mont_mul(t_num_e, Fr.inv(zh_e))
-    t_full = Fr.mont_mul(big_intt(Fr, t_e, w8), inv_shift_pows)
+    t_full = Fr.mont_mul(prims.intt4n(Fr, t_e), inv_shift_pows)
     t_len = 3 * n + 6
     t_x = t_full[..., :t_len, :]
     t_tail_zero = jnp.all(t_full[..., t_len:, :] == 0)
@@ -454,7 +489,8 @@ def _commit_many(ctx: BN254Context, coeff_list) -> BigG1Affine:
 
 
 def prove_bn254(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
-                challenge, rand9, public_inputs=None
+                challenge, rand9, public_inputs=None,
+                prims: BN254Prims | None = None
                 ) -> tuple[BN254Proof, BN254Diagnostics]:
     """BN254 5-round prover. Inputs in STANDARD form as 16-bit-word
     arrays: selectors (5, n, 16), copies (3, n, 2) int32, witness columns
@@ -464,17 +500,18 @@ def prove_bn254(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
     ch = Fr.encode(jnp.asarray(challenge, U32))
     alpha, beta, gamma, z, v = (ch[i] for i in range(5))
 
+    prims = prims or _local_prims(ctx)
     st = _stage_prep(ctx, jnp.asarray(selectors, U32),
                      jnp.asarray(copies), jnp.asarray(a_w, U32),
                      jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
                      jnp.asarray(rand9, U32),
                      None if public_inputs is None
-                     else jnp.asarray(public_inputs, U32))
-    z_x, _den_ok = _stage_grand_product(ctx, st, beta, gamma)
-    q3 = _stage_quotient(ctx, st, z_x, alpha, beta, gamma)
+                     else jnp.asarray(public_inputs, U32), prims)
+    z_x, _den_ok = _stage_grand_product(ctx, st, beta, gamma, prims)
+    q3 = _stage_quotient(ctx, st, z_x, alpha, beta, gamma, prims)
     q5 = _stage_openings(ctx, st, q3, z_x, alpha, beta, gamma, z, v)
 
-    cms = _commit_many(ctx, [st["a_x"], st["b_x"], st["c_x"], z_x,
+    cms = prims.commit_many([st["a_x"], st["b_x"], st["c_x"], z_x,
                              q3["t_lo_x"], q3["t_mid_x"], q3["t_hi_x"],
                              q5["w_z_x_quo"], q5["w_z_omega_x"]])
     Fq = ctx.Fq
@@ -519,7 +556,8 @@ def make_vk_bn254(ctx: BN254Context, selectors, copies) -> BN254VK:
     sig = [table[copies[i, :, 0], copies[i, :, 1] - 1] for i in range(3)]
     sel = Fr.encode(jnp.asarray(selectors, U32))
     stacked = jnp.stack([sel[3], sel[0], sel[1], sel[2], sel[4]] + sig)
-    polys = big_intt(Fr, stacked, ctx.omega)
+    prims = prims or _local_prims(ctx)
+    polys = prims.intt_n(Fr, stacked)
     cms = _commit_many(ctx, [polys[i] for i in range(8)])
     Fq = ctx.Fq
     pick = lambda i: BigG1Affine(Fq.decode(cms.x[i]), Fq.decode(cms.y[i]),

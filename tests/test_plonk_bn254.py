@@ -159,3 +159,30 @@ class TestFiatShamir:
             (batch.a_z[0, 0] + 1) % (1 << 16)))
         ok2 = PB.verify_bn254_many(ctx, vk, tam, chs)
         assert np.asarray(ok2).tolist() == [False, True]
+
+
+class TestDistProver:
+    def test_sharded_bit_identical(self, ctx, circuit, proof_and_inputs):
+        """Mesh-sharded BN254 prover (dist limb NTT + sharded grand
+        product + sharded Pippenger commitments) == single-chip, bit for
+        bit (parallel/dist_bn254.py; VERDICT r1 item 1 at production
+        scale)."""
+        from plonk_tpu.parallel.mesh import make_1d_mesh
+        from plonk_tpu.parallel import dist_bn254 as DB
+        sel, copies, aw, bw, cw = circuit[:5]
+        proof_ref, _, challenge, rand9 = proof_and_inputs
+        mesh = make_1d_mesh("sp", 2)
+        prims = DB.make_dist_bn254_prims(ctx, mesh)
+        proof, diags = PB.prove_bn254(ctx, sel, copies, aw, bw, cw,
+                                      challenge, rand9, prims=prims)
+        assert bool(np.asarray(diags.all_ok()))
+        for f in ("a_z", "b_z", "c_z", "s_sigma_1_z", "s_sigma_2_z",
+                  "r_z", "z_omega_z"):
+            assert np.array_equal(np.asarray(getattr(proof, f)),
+                                  np.asarray(getattr(proof_ref, f))), f
+        for f in ("a_s", "b_s", "c_s", "z_s", "t_lo_s", "t_mid_s",
+                  "t_hi_s", "w_z_s", "w_z_omega_s"):
+            q1, q2 = getattr(proof, f), getattr(proof_ref, f)
+            assert np.array_equal(np.asarray(q1.x), np.asarray(q2.x)), f
+            assert np.array_equal(np.asarray(q1.y), np.asarray(q2.y)), f
+            assert bool(np.asarray(q1.inf)) == bool(np.asarray(q2.inf)), f
