@@ -453,10 +453,14 @@ class BN254FsProver:
     """
 
     def __init__(self, ctx, selectors, copies,
-                 label: bytes = b"tpu-plonk-bn254-fs-v1"):
+                 label: bytes = b"tpu-plonk-bn254-fs-v1", prims=None):
+        """prims: optional plonk_bn254.BN254Prims — pass
+        parallel.dist_bn254.make_dist_bn254_prims(ctx, mesh) to run
+        every round stage mesh-sharded (bit-identical transcript)."""
         from . import plonk_bn254 as PB
         self.ctx = ctx
         self.label = label
+        prims = prims or PB._local_prims(ctx)
         sel = jnp.asarray(selectors, U32)
         cps = jnp.asarray(copies)
         self.vk = PB.make_vk_bn254(ctx, sel, cps)
@@ -468,21 +472,22 @@ class BN254FsProver:
                                   cms.inf)
 
         def s1(a, b, c, rnd, pi):
-            st = PB._stage_prep(ctx, sel, cps, a, b, c, rnd, pi)
-            cms = PB._commit_many(ctx, [st["a_x"], st["b_x"], st["c_x"]])
+            st = PB._stage_prep(ctx, sel, cps, a, b, c, rnd, pi, prims)
+            cms = prims.commit_many([st["a_x"], st["b_x"], st["c_x"]])
             return st, dec_pts(cms)
 
         def s2(st, beta_w, gamma_w):
             z_x, den_ok = PB._stage_grand_product(
-                ctx, st, Fr.encode(beta_w), Fr.encode(gamma_w))
-            cms = PB._commit_many(ctx, [z_x])
+                ctx, st, Fr.encode(beta_w), Fr.encode(gamma_w), prims)
+            cms = prims.commit_many([z_x])
             return z_x, den_ok, dec_pts(cms)
 
         def s3(st, z_x, alpha_w, beta_w, gamma_w):
             q3 = PB._stage_quotient(ctx, st, z_x, Fr.encode(alpha_w),
-                                    Fr.encode(beta_w), Fr.encode(gamma_w))
-            cms = PB._commit_many(ctx, [q3["t_lo_x"], q3["t_mid_x"],
-                                        q3["t_hi_x"]])
+                                    Fr.encode(beta_w), Fr.encode(gamma_w),
+                                    prims)
+            cms = prims.commit_many([q3["t_lo_x"], q3["t_mid_x"],
+                                     q3["t_hi_x"]])
             return q3, dec_pts(cms)
 
         def s4(st, q3, z_x, ch_w):
@@ -490,8 +495,8 @@ class BN254FsProver:
             alpha, beta, gamma, z, v = (ch[i] for i in range(5))
             q5 = PB._stage_openings(ctx, st, q3, z_x, alpha, beta, gamma,
                                     z, v)
-            cms = PB._commit_many(ctx, [q5["w_z_x_quo"],
-                                        q5["w_z_omega_x"]])
+            cms = prims.commit_many([q5["w_z_x_quo"],
+                                     q5["w_z_omega_x"]])
             evals = {k: Fr.decode(q5[k]) for k in
                      ("a_z", "b_z", "c_z", "s_sigma_1_z", "s_sigma_2_z",
                       "r_z", "z_omega_z")}
