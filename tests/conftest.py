@@ -21,7 +21,28 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the BN254 pairing/prover graphs take
 # minutes to compile on the CPU backend; caching cuts re-runs ~4x
 # (measured: 39 s cold -> 9.6 s warm for the pairing).
-_CACHE = os.path.expanduser("~/.cache/plonk_tpu/xla_cpu_tests")
+#
+# The dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT artifacts
+# embed the compile machine's ISA features, and loading an entry built
+# on a different machine SEGFAULTS the process mid-suite (observed
+# 2026-08-18 after a container migration: "machine features ... could
+# lead to SIGILL" warnings, then a crash in backend_compile_and_load).
+def _cpu_fingerprint() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags_ = " ".join(sorted(line.split(":")[1].split()))
+                    return hashlib.sha256(flags_.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
+_CACHE = os.path.expanduser("~/.cache/plonk_tpu/xla_cpu_tests_"
+                            + _cpu_fingerprint())
 os.makedirs(_CACHE, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
