@@ -32,6 +32,35 @@ def _timeit(fn, *args, reps=3):
     return (time.perf_counter() - t0) / reps, out
 
 
+def _tpu_reachable(timeout_s: int = 240, attempts: int = 2,
+                   retry_sleep_s: int = 120) -> bool:
+    """Probe the accelerator backend in a SUBPROCESS with a timeout.
+
+    The axon tunnel's device claim can hang indefinitely when the
+    backend is unreachable (observed: a 7.5 h outage that stalled a
+    whole session inside `jax.devices()`), and a killed holder's grant
+    takes ~2 min to release — hence the probe retries. Probing
+    in-process would wedge this process the same way."""
+    import subprocess
+    import sys
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "axon" not in platforms and "tpu" not in platforms:
+        return True                      # explicitly CPU/other: no probe
+    for i in range(attempts):
+        if i:
+            time.sleep(retry_sleep_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
+
+
 def bench_prover_batch(batch: int = 32768):
     import jax
     import jax.numpy as jnp
@@ -75,16 +104,28 @@ def bench_ntt(log_n: int = 20):
     rng = np.random.default_rng(0)
     x = M.encode(np.asarray(rng.integers(0, M.p, size=n, dtype=np.uint32)))
     from plonk_tpu.ops.fused_ntt import fused_ntt_natural
-    fn = jax.jit(lambda v: fused_ntt_natural(M, v, w))
-    secs, out = _timeit(fn, x)
-    # on-device parity: the fused four-step Pallas path must match the
-    # plain-XLA reshape-butterfly path bit for bit (VERDICT round-1 weak 3)
     ref = jax.jit(lambda v: ntt(M, v, w, layout="simple"))(x)
-    assert bool(jnp.array_equal(out, ref)), "NTT pallas/XLA parity on device"
+    # prefer the single-kernel whole-residency transform; fall back to
+    # the five-step fused path if the 2^20 block doesn't fit VMEM
+    best = None
+    for onepass in (True, False):
+        try:
+            fn = jax.jit(lambda v, op=onepass: fused_ntt_natural(
+                M, v, w, onepass=op))
+            secs, out = _timeit(fn, x)
+            # on-device parity vs the plain-XLA reshape-butterfly path,
+            # bit for bit (VERDICT round-1 weak 3)
+            assert bool(jnp.array_equal(out, ref)), \
+                "NTT pallas/XLA parity on device"
+            best = secs if best is None else min(best, secs)
+        except Exception:
+            if onepass:
+                continue
+            raise
     # blocked+Pallas row-stage path (the previous default), for reference
     out2 = jax.jit(lambda v: ntt(M, v, w))(x)
     assert bool(jnp.array_equal(out2, ref)), "blocked NTT parity on device"
-    return n / secs
+    return n / best
 
 
 def bench_ntt_batched(log_n: int = 20, batch: int = 8):
@@ -102,9 +143,18 @@ def bench_ntt_batched(log_n: int = 20, batch: int = 8):
     rng = np.random.default_rng(0)
     x = M.encode(np.asarray(rng.integers(0, M.p, size=(batch, n),
                                          dtype=np.uint32)))
-    fn = jax.jit(lambda v: fused_ntt_natural(M, v, w))
-    secs, _ = _timeit(fn, x)
-    return batch * n / secs
+    best = None
+    for onepass in (True, False):
+        try:
+            fn = jax.jit(lambda v, op=onepass: fused_ntt_natural(
+                M, v, w, onepass=op))
+            secs, _ = _timeit(fn, x)
+            best = secs if best is None else min(best, secs)
+        except Exception:
+            if onepass:
+                continue
+            raise
+    return batch * n / best
 
 
 def bench_ntt_bn254(log_n: int = 16):
@@ -221,7 +271,7 @@ def bench_scaled_prover(log_n: int = 16):
         return run()
 
 
-def bench_bn254_msm(log_n: int = 14):
+def bench_bn254_msm(log_n: int = 14, glv: bool = False):
     """BN254 G1 Pippenger MSM (254-bit limb arithmetic) — the standard
     production-prover metric. Identical-point bases (timing only; group
     math is data-independent), random full-width scalars."""
@@ -239,8 +289,13 @@ def bench_bn254_msm(log_n: int = 14):
     pts = BC.BigG1J(gx, gy, one)
     words = jnp.asarray(rng.integers(0, 1 << 16, size=(L, 16),
                                      dtype=np.uint32))
-    fn = jax.jit(lambda p_, w_: BC.big_msm_pippenger(F, p_, w_,
-                                                     window_bits=8))
+    if glv:
+        from plonk_tpu.ops.glv import big_msm_glv
+        fn = jax.jit(lambda p_, w_: big_msm_glv(F, p_, w_,
+                                                window_bits=8))
+    else:
+        fn = jax.jit(lambda p_, w_: BC.big_msm_pippenger(F, p_, w_,
+                                                         window_bits=8))
     secs, _ = _timeit(fn, pts, words, reps=3)
     return L / secs
 
@@ -375,6 +430,41 @@ def bench_scaled_batched(log_n: int = 12, batch: int = 16):
     return batch / secs
 
 
+def bench_fs_poseidon(log_n: int = 14, batch: int = 8):
+    """Non-interactive (Fiat-Shamir) proving throughput with the
+    ON-DEVICE Poseidon transcript: `prove_many` runs B complete FS
+    proofs — commitments, sponge, challenge derivation, retry loop — in
+    ONE dispatch (models/fs_poseidon.py). The staged BLAKE2b FS prover
+    pays 6+ dispatches/proof at the ~2.9 ms tunnel floor, so it cannot
+    exceed ~55 proofs/s regardless of compute. Returns FS proofs/s."""
+    import jax
+    import jax.numpy as jnp
+    from plonk_tpu.models import plonk_scaled as PS
+    from plonk_tpu.models import fs_poseidon as FSP
+    from plonk_tpu.models.synthetic import square_chain_circuit
+    from plonk_tpu.utils.params import SCALED_FR
+
+    n = 1 << log_n
+    ctx = PS.scaled_new(n)
+    sel, copies, *_ = square_chain_circuit(SCALED_FR.p, n)
+    wits = [square_chain_circuit(SCALED_FR.p, n, x0=3 + i)[2:]
+            for i in range(batch)]
+    a = np.stack([np.asarray(w[0]) for w in wits])
+    b = np.stack([np.asarray(w[1]) for w in wits])
+    c = np.stack([np.asarray(w[2]) for w in wits])
+    rnds = np.stack([np.arange(1 + i, 10 + i, dtype=np.uint32)
+                     for i in range(batch)])
+    prover = FSP.PoseidonFsProver(ctx, sel, copies)
+    outs = prover.prove_many(a, b, c, rnds)        # warm + compile
+    assert all(bool(d.all_ok()) for _, d in outs)
+    # full soundness spot-check on one lane: host transcript replay +
+    # the two pairing checks
+    assert FSP.verify_scaled_fs_poseidon(ctx, prover.vk, outs[0][0])
+    secs, _ = _timeit(lambda a_, b_, c_, r_: prover.prove_many(
+        a_, b_, c_, r_), a, b, c, rnds, reps=3)
+    return batch / secs
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     baseline = json.load(open(os.path.join(
@@ -384,13 +474,34 @@ def main():
     # NTT lanes first: measured 5x slower when run after the 32k-proof
     # batch lane (device memory pressure through the tunnel)
     extras = {}
+    batch = 32768
+    if not _tpu_reachable():
+        # TPU tunnel down: still emit a (clearly tagged) JSON line from
+        # the CPU backend at reduced sizes instead of hanging forever.
+        # The env var alone is NOT enough: the axon sitecustomize imports
+        # jax at interpreter start, freezing JAX_PLATFORMS=axon — flip
+        # the live config as well (same trap tests/conftest.py documents)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("PLONK_TPU_BENCH_SCALED_LOGN", "10")
+        os.environ["PLONK_TPU_BENCH_CPU_FALLBACK"] = "1"
+        extras["backend_fallback"] = "cpu (tpu unreachable at bench time)"
+        batch = 1024
+    cpu_fb = os.environ.get("PLONK_TPU_BENCH_CPU_FALLBACK") == "1"
+    # XLA:CPU compile cost is superlinear in butterfly-stage depth
+    # (CLAUDE.md) — big transforms are TPU-only lane sizes
+    ntt_logn = 20 if not cpu_fb else 12
+    msm_logn = 16 if not cpu_fb else 12
     try:
-        extras["ntt_babybear_2e20_elems_per_s"] = round(bench_ntt(), 1)
+        extras[f"ntt_babybear_2e{ntt_logn}_elems_per_s"] = round(
+            bench_ntt(ntt_logn), 1)
     except Exception as e:  # keep the headline alive
         extras["ntt_error"] = str(e)[:200]
-    proofs_per_s = bench_prover_batch()
+    proofs_per_s = bench_prover_batch(batch)
     try:
-        extras["msm_toy_2e16_points_per_s"] = round(bench_msm(), 1)
+        extras[f"msm_toy_2e{msm_logn}_points_per_s"] = round(
+            bench_msm(msm_logn), 1)
     except Exception as e:
         extras["msm_error"] = str(e)[:200]
     try:
@@ -406,34 +517,53 @@ def main():
     except Exception as e:
         extras["scaled_error"] = str(e)[:200]
     try:
-        extras["ntt_babybear_2e20_batch8_elems_per_s"] = round(
-            bench_ntt_batched(), 1)
+        extras[f"ntt_babybear_2e{ntt_logn}_batch8_elems_per_s"] = round(
+            bench_ntt_batched(ntt_logn), 1)
     except Exception as e:
         extras["ntt_batched_error"] = str(e)[:200]
     try:
-        extras["ntt_bn254_2e16_elems_per_s"] = round(bench_ntt_bn254(), 1)
+        bn_logn = 16 if not cpu_fb else 12
+        extras[f"ntt_bn254_2e{bn_logn}_elems_per_s"] = round(
+            bench_ntt_bn254(bn_logn), 1)
     except Exception as e:
         extras["ntt_bn254_error"] = str(e)[:200]
     try:
-        extras["plonk_scaled_batched_2e12_proofs_per_s"] = round(
-            bench_scaled_batched(), 3)
+        sb_logn = 12 if not cpu_fb else 8
+        extras[f"plonk_scaled_batched_2e{sb_logn}_proofs_per_s"] = round(
+            bench_scaled_batched(sb_logn), 3)
     except Exception as e:
         extras["scaled_batched_error"] = str(e)[:200]
+    cpu_fallback = cpu_fb
     try:
-        extras["bn254_msm_2e14_points_per_s"] = round(bench_bn254_msm(), 1)
+        log_n = int(os.environ.get("PLONK_TPU_BENCH_FS_LOGN",
+                                   "10" if cpu_fallback else "14"))
+        extras[f"plonk_fs_poseidon_2e{log_n}_b8_proofs_per_s"] = round(
+            bench_fs_poseidon(log_n), 3)
+    except Exception as e:
+        extras["fs_poseidon_error"] = str(e)[:200]
+    try:
+        extras["bn254_msm_2e14_points_per_s"] = round(
+            bench_bn254_msm(14 if not cpu_fallback else 10), 1)
     except Exception as e:
         extras["bn254_msm_error"] = str(e)[:200]
     try:
-        log_n = int(os.environ.get("PLONK_TPU_BENCH_BN254_LOGN", "10"))
-        extras[f"plonk_bn254_2e{log_n}_proofs_per_s"] = round(
-            bench_bn254_prover(log_n), 3)
+        extras["bn254_msm_glv_2e14_points_per_s"] = round(
+            bench_bn254_msm(14 if not cpu_fallback else 10, glv=True), 1)
     except Exception as e:
-        extras["bn254_prover_error"] = str(e)[:200]
-    try:
-        extras["bn254_verify_many_b8_per_s"] = round(
-            bench_bn254_verify_many(), 3)
-    except Exception as e:
-        extras["bn254_verify_error"] = str(e)[:200]
+        extras["bn254_msm_glv_error"] = str(e)[:200]
+    # hour-scale XLA:CPU compiles (the pairing tape) — TPU-only lanes
+    if not cpu_fallback:
+        try:
+            log_n = int(os.environ.get("PLONK_TPU_BENCH_BN254_LOGN", "10"))
+            extras[f"plonk_bn254_2e{log_n}_proofs_per_s"] = round(
+                bench_bn254_prover(log_n), 3)
+        except Exception as e:
+            extras["bn254_prover_error"] = str(e)[:200]
+        try:
+            extras["bn254_verify_many_b8_per_s"] = round(
+                bench_bn254_verify_many(), 3)
+        except Exception as e:
+            extras["bn254_verify_error"] = str(e)[:200]
 
     result = {
         "metric": "plonk_proofs_per_s_canonical",

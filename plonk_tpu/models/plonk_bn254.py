@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -472,7 +473,10 @@ def _stage_openings(ctx: BN254Context, st, q3, z_x, alpha, beta, gamma,
 
 
 def _commit_many(ctx: BN254Context, coeff_list) -> BigG1Affine:
-    """One batched Pippenger MSM for all commitments."""
+    """One batched MSM for all commitments. Default path: GLV
+    endomorphism split (ops/glv.py) — half the Pippenger windows for the
+    same bucket work, ~1.9x less EC work, group-identical points
+    (PLONK_TPU_BN254_GLV=0 falls back to the plain 254-bit walk)."""
     Fr, Fq = ctx.Fr, ctx.Fq
     L = ctx.srs.length
     padded = jnp.stack([BPol.pad_to(c, L)[..., :L, :] for c in coeff_list])
@@ -482,8 +486,12 @@ def _commit_many(ctx: BN254Context, coeff_list) -> BigG1Affine:
     Z = jnp.where(g1s.inf[..., None], jnp.zeros_like(one), one)
     pts = BigG1J(jnp.where(g1s.inf[..., None], one, g1s.x),
                  jnp.where(g1s.inf[..., None], one, g1s.y), Z)
-    out = big_msm_pippenger_many(Fq, pts, scalars, window_bits=8,
-                                 scalar_bits=FR_BITS)
+    if os.environ.get("PLONK_TPU_BN254_GLV", "1") != "0":
+        from ..ops.glv import big_msm_glv_many
+        out = big_msm_glv_many(Fq, pts, scalars, window_bits=8)
+    else:
+        out = big_msm_pippenger_many(Fq, pts, scalars, window_bits=8,
+                                     scalar_bits=FR_BITS)
     x, y, inf = big_to_affine(Fq, out)
     return BigG1Affine(x=x, y=y, inf=inf)
 
