@@ -194,14 +194,18 @@ def _peval_fast(F, coeffs: jnp.ndarray, x) -> jnp.ndarray:
 
 
 def use_pallas_commit() -> bool:
-    """Fused Pallas sweep+tree commit kernel (ops/pallas_msm.py): default
-    ON for real accelerators, OFF on CPU (interpret mode is test-only);
-    PLONK_TPU_PALLAS_MSM=0/1 overrides."""
+    """Fused Pallas sweep+tree commit kernel (ops/pallas_msm.py):
+    default OFF — swept on the real chip at 2^16 (round 3,
+    tools/sweep_pallas_wb.py vs tools/sweep_fb_windows.py): fused kernel
+    15.8 ms (wb=4) vs XLA select sweep 10.2 ms (wb=5); the kernel's
+    sequential bucket grid + roll-based tree lose to XLA's pipelined
+    select rewrites. PLONK_TPU_PALLAS_MSM=1 opts in (parity-checked on
+    device)."""
     import os
     flag = os.environ.get("PLONK_TPU_PALLAS_MSM")
     if flag is not None:
         return flag == "1"
-    return jax.default_backend() not in ("cpu",)
+    return False
 
 
 def fixed_base_table(ctx: ScaledContext):
@@ -316,7 +320,9 @@ def table_commit(ctx: ScaledContext, table):
         padded = jnp.stack([P.pad_to(c, L)[..., :L] for c in coeff_list])
         scalars = Fr.decode(padded)
         if pallas:
-            return msm_fixed_base_many_pallas(c2.Fq, table, scalars)
+            return msm_fixed_base_many_pallas(
+                c2.Fq, table, scalars,
+                interpret=jax.default_backend() == "cpu")
         return msm_fixed_base_many(c2.Fq, table, scalars)
 
     return commit
@@ -378,8 +384,9 @@ def _commit_many(ctx: ScaledContext, coeff_list) -> G1:
     if os.environ.get("PLONK_TPU_FIXED_BASE", "1") == "1":
         if use_pallas_commit():
             from ..ops.pallas_msm import msm_fixed_base_many_pallas
-            return msm_fixed_base_many_pallas(Fq, fixed_base_table(ctx),
-                                              scalars)
+            return msm_fixed_base_many_pallas(
+                Fq, fixed_base_table(ctx), scalars,
+                interpret=jax.default_backend() == "cpu")
         from ..ops.fixed_base import msm_fixed_base_many
         return msm_fixed_base_many(Fq, fixed_base_table(ctx), scalars)
     from ..ops.msm import msm_pippenger_many, msm_pippenger_jac_many

@@ -63,11 +63,14 @@ def pick_window_bits(L: int, scalar_bits: int,
     """Window width for the select-sweep commit path. Narrower windows
     stream fewer table bytes AND run fewer sweep steps (steps = 2^w,
     per-step work ~ n_windows); wider windows only reduce the tree adds
-    (small). Override with PLONK_TPU_FB_WB."""
+    (small). Swept on the real chip at 2^16 (tools/sweep_fb_windows.py,
+    round 3): wb=5 10.2 ms, 6 10.8, 7 11.8, 8 15.0, 4 59.6 (a 16-entry
+    select axis underfills the 128-lane tile) -> prefer 5. Override with
+    PLONK_TPU_FB_WB."""
     env = os.environ.get("PLONK_TPU_FB_WB")
     if env:
         return int(env)
-    for w in (7, 6, 5, 4):
+    for w in (5, 6, 7):
         n_windows = -(-scalar_bits // w)
         entries = n_windows * (1 << w) * L
         if entries * 9 <= budget_bytes:   # x + y (4B each) + inf (1B)

@@ -27,6 +27,14 @@ jac_double (a = 0 short Weierstrass, Z == 0 encodes infinity).
 
 Reference counterpart: src/srs.h:53-68 (srs_commit) — one ladder per
 coefficient there; one table stream for all nine commitments here.
+
+Round-3 on-device verdict (the kernel first LOWERED this round — the
+original table layout blocked a middle axis, which interpret mode
+accepts but Mosaic rejects): 15.8 ms at 2^16/wb=4 vs 10.2 ms for the
+XLA select sweep at wb=5 (tools/sweep_pallas_wb.py, parity-checked).
+The sequential bucket grid serializes what XLA pipelines, so this path
+is opt-in (PLONK_TPU_PALLAS_MSM=1), kept for the VMEM-resident tree
+pattern and as the base for a future multi-tile-parallel variant.
 """
 from __future__ import annotations
 
@@ -174,9 +182,12 @@ def _commit_kernel(p: int, n_prime: int, one: int, enc2: int, enc3: int,
     digits = (scal_ref[:][:, None, :] >> shifts) & jnp.uint32((1 << wb) - 1)
     hit = digits == (d + 1).astype(U32)
 
-    tx = tx_ref[:][:, 0, :][None]                     # (1, W, TL)
-    ty = ty_ref[:][:, 0, :][None]
-    tinf = tinf_ref[:][:, 0, :][None] != 0
+    # table blocks are bucket-major (1, W, TL): the blocked (grid) axis
+    # must sit in FRONT of the last-two tile dims or Mosaic refuses to
+    # lower the (1, TL) tail tile (caught on the real chip, round 3)
+    tx = tx_ref[0][None]                              # (1, W, TL)
+    ty = ty_ref[0][None]
+    tinf = tinf_ref[0][None] != 0
     ax[:] = jnp.where(hit, jnp.where(tinf, onej, tx), ax[:])
     ay[:] = jnp.where(hit, jnp.where(tinf, onej, ty), ay[:])
     az[:] = jnp.where(hit, jnp.where(tinf, jnp.uint32(0), onej), az[:])
@@ -211,9 +222,9 @@ def _commit_kernel(p: int, n_prime: int, one: int, enc2: int, enc3: int,
             Zp = pltpu.roll(Z, width - h, 1)
             X, Y, Z = jadd(X, Y, Z, Xp, Yp, Zp)
             t = h
-        ox_ref[0, :] = X[:, 0]
-        oy_ref[0, :] = Y[:, 0]
-        oz_ref[0, :] = Z[:, 0]
+        ox_ref[0, 0, :] = X[:, 0]
+        oy_ref[0, 0, :] = Y[:, 0]
+        oz_ref[0, 0, :] = Z[:, 0]
 
 
 def _pad_pow2(n: int) -> int:
@@ -221,7 +232,7 @@ def _pad_pow2(n: int) -> int:
 
 
 def commit_many_pallas(F, table: FixedBaseTable, scalars: jnp.ndarray,
-                       tile: int = 2048, interpret: bool = False) -> G1J:
+                       tile: int = 1024, interpret: bool = False) -> G1J:
     """(B, L) standard-form scalars -> (B,) Jacobian commitments against
     the fixed-base window table, as ONE fused Pallas pass (sweep + tree).
     W must cover the scalar bits; the window axis must be padded to a
@@ -235,17 +246,20 @@ def commit_many_pallas(F, table: FixedBaseTable, scalars: jnp.ndarray,
     TL = min(tile, _pad_pow2(L))
     n_tiles = -(-L // TL)
     Lp = n_tiles * TL
+    # bucket-major table layout (nb, W, L): the streamed (bucket) axis
+    # must lead so each grid step's block is (1, W, TL) — Mosaic requires
+    # the LAST TWO block dims to tile the array (W == full axis, TL | 128)
+    tx = jnp.swapaxes(table.x, 0, 1)
+    ty = jnp.swapaxes(table.y, 0, 1)
+    tinf = jnp.swapaxes(table.inf.astype(U32), 0, 1)
     if Lp != L:
         padp = [(0, 0), (0, 0), (0, Lp - L)]
-        tx = jnp.pad(table.x, padp)
-        ty = jnp.pad(table.y, padp)
-        tinf = jnp.pad(table.inf.astype(U32), padp,
-                       constant_values=1)
+        tx = jnp.pad(tx, padp)
+        ty = jnp.pad(ty, padp)
+        tinf = jnp.pad(tinf, padp, constant_values=1)
         scalars = jnp.pad(jnp.asarray(scalars, U32),
                           [(0, 0), (0, Lp - L)])
     else:
-        tx, ty = table.x, table.y
-        tinf = table.inf.astype(U32)
         scalars = jnp.asarray(scalars, U32)
 
     p, npr = int(F.p), int(F.n_prime)
@@ -253,24 +267,27 @@ def commit_many_pallas(F, table: FixedBaseTable, scalars: jnp.ndarray,
     enc = lambda c: (c * R) % p
     kern = functools.partial(
         _commit_kernel, p, npr, R, enc(2), enc(3), enc(8), wb, B, W, TL)
-    out_shape = jax.ShapeDtypeStruct((n_tiles, B), U32)
+    out_shape = jax.ShapeDtypeStruct((n_tiles, 1, B), U32)
     mem = pl.ANY if interpret else pltpu.VMEM
     ox, oy, oz = pl.pallas_call(
         kern,
         grid=(n_tiles, nb - 1),
         in_specs=[
             pl.BlockSpec((B, TL), lambda t, d: (0, t), memory_space=mem),
-            pl.BlockSpec((W, 1, TL), lambda t, d: (0, d + 1, t),
+            pl.BlockSpec((1, W, TL), lambda t, d: (d + 1, 0, t),
                          memory_space=mem),
-            pl.BlockSpec((W, 1, TL), lambda t, d: (0, d + 1, t),
+            pl.BlockSpec((1, W, TL), lambda t, d: (d + 1, 0, t),
                          memory_space=mem),
-            pl.BlockSpec((W, 1, TL), lambda t, d: (0, d + 1, t),
+            pl.BlockSpec((1, W, TL), lambda t, d: (d + 1, 0, t),
                          memory_space=mem),
         ],
         out_specs=[
-            pl.BlockSpec((1, B), lambda t, d: (t, 0), memory_space=mem),
-            pl.BlockSpec((1, B), lambda t, d: (t, 0), memory_space=mem),
-            pl.BlockSpec((1, B), lambda t, d: (t, 0), memory_space=mem),
+            pl.BlockSpec((1, 1, B), lambda t, d: (t, 0, 0),
+                         memory_space=mem),
+            pl.BlockSpec((1, 1, B), lambda t, d: (t, 0, 0),
+                         memory_space=mem),
+            pl.BlockSpec((1, 1, B), lambda t, d: (t, 0, 0),
+                         memory_space=mem),
         ],
         out_shape=[out_shape, out_shape, out_shape],
         scratch_shapes=[
@@ -283,7 +300,7 @@ def commit_many_pallas(F, table: FixedBaseTable, scalars: jnp.ndarray,
 
     # tiny XLA tree over the per-tile partials (n_tiles is ~dozens)
     from .curve import jac_add
-    terms = G1J(ox.T, oy.T, oz.T)                     # (B, n_tiles)
+    terms = G1J(ox[:, 0].T, oy[:, 0].T, oz[:, 0].T)   # (B, n_tiles)
     m = _pad_pow2(n_tiles)
     if m != n_tiles:
         pad = G1J.identity(F, (B, m - n_tiles))
@@ -320,7 +337,7 @@ def build_commit_table(F, pts: G1, scalar_bits: int,
 
 def msm_fixed_base_many_pallas(F, table: FixedBaseTable,
                                scalars_batch: jnp.ndarray,
-                               tile: int = 2048,
+                               tile: int = 1024,
                                interpret: bool = False) -> G1:
     """Drop-in sibling of ops/fixed_base.msm_fixed_base_many returning
     affine points."""
