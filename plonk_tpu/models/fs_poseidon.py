@@ -205,22 +205,17 @@ class PoseidonFsProver:
             return c1, c2, c3, c4, evals, ch, nonce, diag_bits
 
         self._run = jax.jit(run)
+        # whole-FS-proof batching: one dispatch proves B witnesses
+        # (impossible with host hashing — the sponge lives on device).
+        # The beta/gamma retry while_loop vmaps fine: lanes that found an
+        # admissible pair early are masked while stragglers retry.
+        self._run_many = jax.jit(jax.vmap(
+            run, in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0)))
 
-    def prove(self, a_w, b_w, c_w, rand9, public_inputs=None):
+    def _assemble(self, c1, c2, c3, c4, evals, ch, nonce, bits):
         from ..ops.curve import G1
         from .plonk import Proof
         from . import plonk_scaled as PS
-        ctx = self.ctx
-        n = ctx.n
-        pi = (jnp.zeros((n,), U32) if public_inputs is None
-              else jnp.asarray(public_inputs, U32))
-        tbl = self._tbl
-        c1, c2, c3, c4, evals, ch, nonce, bits = self._run(
-            tbl.x, tbl.y, tbl.inf, self._pre,
-            jnp.asarray(self._state0), jnp.asarray(a_w, U32),
-            jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
-            jnp.asarray(rand9, U32), pi)
-        bits = np.asarray(bits)
         if not bool(bits[4]):
             raise RuntimeError(
                 "no admissible beta/gamma in %d retries" % MAX_NONCE)
@@ -236,6 +231,42 @@ class PoseidonFsProver:
             w_z_rem_zero=bits[2], w_zw_rem_zero=bits[3])
         return (PoseidonFsProof(proof=proof, nonce=int(nonce),
                                 challenge=np.asarray(ch)), diags)
+
+    def _common_args(self):
+        tbl = self._tbl
+        return (tbl.x, tbl.y, tbl.inf, self._pre,
+                jnp.asarray(self._state0))
+
+    def prove_many(self, a_w, b_w, c_w, rand9, public_inputs=None):
+        """B complete Fiat-Shamir proofs in ONE dispatch: inputs carry a
+        leading batch axis; returns a list of (PoseidonFsProof, diags)."""
+        ctx = self.ctx
+        B = np.asarray(a_w).shape[0]
+        pi = (jnp.zeros((B, ctx.n), U32) if public_inputs is None
+              else jnp.asarray(public_inputs, U32))
+        c1, c2, c3, c4, evals, ch, nonce, bits = self._run_many(
+            *self._common_args(), jnp.asarray(a_w, U32),
+            jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
+            jnp.asarray(rand9, U32), pi)
+        bits = np.asarray(bits)
+        import jax.tree_util as jtu
+        lane = lambda t, i: jtu.tree_map(lambda x: x[i], t)
+        return [self._assemble(lane(c1, i), lane(c2, i), lane(c3, i),
+                               lane(c4, i),
+                               {k: v[i] for k, v in evals.items()},
+                               ch[i], nonce[i], bits[i])
+                for i in range(B)]
+
+    def prove(self, a_w, b_w, c_w, rand9, public_inputs=None):
+        ctx = self.ctx
+        pi = (jnp.zeros((ctx.n,), U32) if public_inputs is None
+              else jnp.asarray(public_inputs, U32))
+        c1, c2, c3, c4, evals, ch, nonce, bits = self._run(
+            *self._common_args(), jnp.asarray(a_w, U32),
+            jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
+            jnp.asarray(rand9, U32), pi)
+        return self._assemble(c1, c2, c3, c4, evals, ch, nonce,
+                              np.asarray(bits))
 
 
 def derive_challenges_host(ctx, vk_points, proof, nonce: int,

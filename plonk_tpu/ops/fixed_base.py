@@ -116,7 +116,7 @@ _GATHER_MODE = os.environ.get("PLONK_TPU_FB_GATHER", "auto")
 
 
 def _digits(table: FixedBaseTable, scalars: jnp.ndarray) -> jnp.ndarray:
-    wb = table.window_bits
+    wb = int(table.window_bits)   # may be a jit-output i32 scalar
     n_windows, n_buckets, _ = table.x.shape
     shifts = jnp.asarray([w * wb for w in range(n_windows)], U32)
     return ((scalars[..., None, :] >> shifts[:, None])

@@ -286,11 +286,16 @@ def fused_intt_1k(F, y: jnp.ndarray, w: int,
 
 
 def fused_ntt_natural(F, x: jnp.ndarray, w: int,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      onepass: bool = False) -> jnp.ndarray:
     """fused_ntt + unscramble to natural evaluation order (for callers
     that need the standard layout; the prover's quotient path keeps the
-    scrambled layout and skips this)."""
-    y = fused_ntt(F, x, w, interpret=interpret)
+    scrambled layout and skips this). onepass=True runs the whole
+    transform as one Pallas kernel (fused_ntt_1k) before unscrambling."""
+    if onepass:
+        y = fused_ntt_1k(F, x, w, interpret=interpret)
+    else:
+        y = fused_ntt(F, x, w, interpret=interpret)
     n = y.shape[-1]
     inv = np.empty(n, dtype=np.int64)
     inv[scrambled_perm(n)] = np.arange(n)

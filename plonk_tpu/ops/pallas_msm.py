@@ -238,7 +238,10 @@ def commit_many_pallas(F, table: FixedBaseTable, scalars: jnp.ndarray,
     W must cover the scalar bits; the window axis must be padded to a
     power of two by the table builder (build_commit_table)."""
     W, nb, L = table.x.shape
-    wb = table.window_bits
+    # int() guard: a table rebuilt from jit OUTPUTS carries window_bits
+    # as a concrete i32 array; the kernel must close over a python int
+    # or tracing rejects it as a captured constant (bench round 3).
+    wb = int(table.window_bits)
     B = scalars.shape[0]
     if W & (W - 1):
         raise ValueError("window count must be a power of two "

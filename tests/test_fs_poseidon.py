@@ -108,3 +108,29 @@ def test_public_inputs_bound(setup):
     pi2[0] = (int(pi2[0]) + 1) % R
     assert not FSP.verify_scaled_fs_poseidon(ctx, prover.vk, out,
                                              public_inputs=pi2)
+
+
+def test_prove_many_matches_single(setup):
+    """The one-dispatch batched lane must produce exactly the proofs the
+    single-witness path produces (vmapped retry loop included), and every
+    lane must verify independently."""
+    ctx, prover, circ, _, _ = setup
+    selectors, copies, *_ = circ
+    B = 3
+    wits = [square_chain_circuit(R, ctx.n, x0=7 + i)[2:] for i in range(B)]
+    a = np.stack([np.asarray(w[0]) for w in wits])
+    b = np.stack([np.asarray(w[1]) for w in wits])
+    c = np.stack([np.asarray(w[2]) for w in wits])
+    rnds = np.stack([RND + i for i in range(B)])
+    outs = prover.prove_many(a, b, c, rnds)
+    assert len(outs) == B
+    for i, (out, diags) in enumerate(outs):
+        assert bool(diags.all_ok())
+        assert FSP.verify_scaled_fs_poseidon(ctx, prover.vk, out)
+        single, sd = prover.prove(a[i], b[i], c[i], rnds[i])
+        assert bool(sd.all_ok())
+        assert out.nonce == single.nonce
+        assert [int(v) for v in out.challenge] == \
+            [int(v) for v in single.challenge]
+        assert int(out.proof.r_z) == int(single.proof.r_z)
+        assert int(out.proof.a_s.x) == int(single.proof.a_s.x)
