@@ -517,8 +517,25 @@ def mxu_prims() -> ProverPrims:
         perm8=lambda tbl: tbl[np.asarray(MX.mxu_perm(len(tbl)))])
 
 
+def mxu2_prims() -> ProverPrims:
+    """mxu_prims with the modular matmul fused into VMEM (Pallas,
+    ops/pallas_mxu_ntt.py): the limb-product tensor that sank the plain
+    XLA MXU path (38 ms field side, BENCH_NOTES round 2) never touches
+    HBM, and the butterfly multiplies ride the systolic array instead of
+    the one-pass kernel's lane rolls."""
+    from ..ops import mxu_ntt as MX
+    from ..ops import pallas_mxu_ntt as PMX
+    return ProverPrims(
+        intt_n=lambda F, x, w: N.intt(F, x, w),
+        ntt8=lambda F, x, w: PMX.mxu_ntt_pallas(F, x, w),
+        intt8=lambda F, x, w: PMX.mxu_intt_pallas(F, x, w),
+        grand_product=_local_grand_product,
+        commit_many=_commit_many,
+        perm8=lambda tbl: tbl[np.asarray(MX.mxu_perm(len(tbl)))])
+
+
 def _auto_prims(ctx: ScaledContext) -> ProverPrims:
-    """PLONK_TPU_NTT=blocked|fused|mxu overrides; default: fused on
+    """PLONK_TPU_NTT=blocked|fused|mxu|mxu2 overrides; default: fused on
     accelerators for large domains, blocked elsewhere."""
     import os
     flag = os.environ.get("PLONK_TPU_NTT")
@@ -528,6 +545,8 @@ def _auto_prims(ctx: ScaledContext) -> ProverPrims:
         return onepass_prims()
     if flag == "mxu":
         return mxu_prims()
+    if flag == "mxu2":
+        return mxu2_prims()
     if flag == "blocked" or os.environ.get("PLONK_TPU_FUSED") == "0":
         return default_prims()
     # measured at 2^16 gates on-chip (round 2): field side 20.7 ms blocked

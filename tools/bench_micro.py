@@ -203,6 +203,42 @@ if which == "mxu":
     bench_mxu_ntt()
 
 
+def bench_mxu2_ntt(log_n=19, batch=6):
+    """Fused-VMEM MXU NTT (ops/pallas_mxu_ntt.py) vs plain-XLA MXU and
+    the one-pass roll kernel at the prover's 8n stack shape; asserts
+    real-chip parity (the gate for mxu2 becoming a prover default)."""
+    from plonk_tpu.ops import mxu_ntt as MX
+    from plonk_tpu.ops import pallas_mxu_ntt as PMX
+    from plonk_tpu.ops import fused_ntt as FN
+    M = MontField(SCALED_FR)
+    n = 1 << log_n
+    w = SCALED_FR.root_of_unity(n)
+    rng = np.random.default_rng(0)
+    x = M.encode(np.asarray(rng.integers(0, M.p, size=(batch, n),
+                                         dtype=np.uint32)))
+    fp = jax.jit(lambda v: PMX.mxu_ntt_pallas(M, v, w))
+    fx = jax.jit(lambda v: MX.mxu_ntt(M, v, w))
+    f1 = jax.jit(lambda v: FN.fused_ntt_1k(M, v, w))
+    outp, outx = fp(x), fx(x)
+    ok = bool(jnp.array_equal(outp, outx))
+    ip = jax.jit(lambda v: PMX.mxu_intt_pallas(M, v, w))
+    ix = jax.jit(lambda v: MX.mxu_intt(M, v, w))
+    iok = bool(jnp.array_equal(ip(outp), ix(outx)))
+    print(json.dumps({
+        "mxu2_fwd_ms": round(timeit(fp, x) * 1000, 3),
+        "mxu_xla_fwd_ms": round(timeit(fx, x) * 1000, 3),
+        "onepass_fwd_ms": round(timeit(f1, x) * 1000, 3),
+        "mxu2_inv_ms": round(timeit(ip, outp) * 1000, 3),
+        "mxu_xla_inv_ms": round(timeit(ix, outx) * 1000, 3),
+        "log_n": log_n, "batch": batch,
+        "parity_fwd": ok, "parity_inv": iok}), flush=True)
+    assert ok and iok, "mxu2 parity failed on device"
+
+
+if which == "mxu2":
+    bench_mxu2_ntt()
+
+
 def bench_field_side(log_n=16):
     """Field-side pipeline only (commits skipped) for each NTT prim set."""
     import os as _os
@@ -215,7 +251,9 @@ def bench_field_side(log_n=16):
     argsj = tuple(jnp.asarray(x) for x in (sel, copies, a, b, c))
     for name, prims in [("blocked", PS.default_prims()),
                         ("fused", PS.fused_prims()),
-                        ("mxu", PS.mxu_prims())]:
+                        ("onepass", PS.onepass_prims()),
+                        ("mxu", PS.mxu_prims()),
+                        ("mxu2", PS.mxu2_prims())]:
         try:
             fn = jax.jit(lambda c_, r_, pr=prims: PS.prove_scaled(
                 ctx, *argsj, c_, r_, prims=pr))
