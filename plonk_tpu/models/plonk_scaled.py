@@ -549,14 +549,13 @@ def _auto_prims(ctx: ScaledContext) -> ProverPrims:
         return mxu2_prims()
     if flag == "blocked" or os.environ.get("PLONK_TPU_FUSED") == "0":
         return default_prims()
-    # measured at 2^16 gates on-chip (round 2): field side 20.7 ms blocked
-    # vs 23.5 fused vs 38.1 mxu -> blocked was the round-2 prover
-    # default; the single-kernel whole transform (onepass) removes the
-    # per-stage HBM round trips both of those pay and is the accelerator
-    # default from round 3 (CPU keeps blocked: Pallas there is
-    # interpret-only).
-    if jax.default_backend() not in ("cpu",):
-        return onepass_prims()
+    # Field-side 2^16 pipeline on-chip, re-measured after circuit
+    # preprocessing cut the transform count (round 3, two runs x 5 reps):
+    # blocked 7.8/8.8 ms, fused 9.3/8.8, onepass 9.3/10.7, mxu 9.4,
+    # mxu2 10.0-10.1 -> blocked wins again (preprocessing removed most of
+    # the transforms the onepass kernel was saving HBM round trips on),
+    # and it is also the no-Pallas fallback path, so accelerator and CPU
+    # now share one default.
     return default_prims()
 
 
