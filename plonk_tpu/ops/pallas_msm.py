@@ -162,69 +162,60 @@ def _jac_ops(p: int, n_prime: int, enc2: int, enc3: int, enc8: int):
 
 
 def _commit_kernel(p: int, n_prime: int, one: int, enc2: int, enc3: int,
-                   enc8: int, wb: int, B: int, W: int, TL: int,
+                   enc8: int, wb: int, B: int, W: int, TL: int, nb: int,
                    scal_ref, tx_ref, ty_ref, tinf_ref,
-                   ox_ref, oy_ref, oz_ref, ax, ay, az):
+                   ox_ref, oy_ref, oz_ref):
+    """ONE grid step per point tile: the full bucket sweep (unrolled
+    python loop over the (nb, W, TL) table block resident in VMEM) plus
+    the Jacobian tree. The round-3 version ran buckets as an inner grid
+    axis — 960 dependent micro-steps whose fixed cost serialized the
+    whole pass (15.8 ms); folding them into the tile step leaves
+    ~L/TL independent steps that pipeline against the table stream."""
     jadd, _ = _jac_ops(p, n_prime, enc2, enc3, enc8)
-    d = pl.program_id(1)
-    n_d = pl.num_programs(1)
     onej = jnp.uint32(one)
 
-    @pl.when(d == 0)
-    def _init():
-        ax[:] = jnp.full((B, W, TL), onej, U32)
-        ay[:] = jnp.full((B, W, TL), onej, U32)
-        az[:] = jnp.zeros((B, W, TL), U32)
-
-    # digits for this tile: (B, W, TL); bucket index being swept is d+1
+    # digits for this tile: (B, W, TL)
     shifts = (jax.lax.broadcasted_iota(U32, (B, W, TL), 1)
               * jnp.uint32(wb))
     digits = (scal_ref[:][:, None, :] >> shifts) & jnp.uint32((1 << wb) - 1)
-    hit = digits == (d + 1).astype(U32)
 
-    # table blocks are bucket-major (1, W, TL): the blocked (grid) axis
-    # must sit in FRONT of the last-two tile dims or Mosaic refuses to
-    # lower the (1, TL) tail tile (caught on the real chip, round 3)
-    tx = tx_ref[0][None]                              # (1, W, TL)
-    ty = ty_ref[0][None]
-    tinf = tinf_ref[0][None] != 0
-    ax[:] = jnp.where(hit, jnp.where(tinf, onej, tx), ax[:])
-    ay[:] = jnp.where(hit, jnp.where(tinf, onej, ty), ay[:])
-    az[:] = jnp.where(hit, jnp.where(tinf, jnp.uint32(0), onej), az[:])
+    # bucket 0 is the identity -> start there and sweep d = 1..nb-1
+    X = jnp.full((B, W, TL), onej, U32)
+    Y = jnp.full((B, W, TL), onej, U32)
+    Z = jnp.zeros((B, W, TL), U32)
+    for d in range(1, nb):
+        hit = digits == jnp.uint32(d)
+        tinf = tinf_ref[d][None] != 0
+        X = jnp.where(hit, jnp.where(tinf, onej, tx_ref[d][None]), X)
+        Y = jnp.where(hit, jnp.where(tinf, onej, ty_ref[d][None]), Y)
+        Z = jnp.where(hit, jnp.where(tinf, jnp.uint32(0), onej), Z)
 
-    @pl.when(d == n_d - 1)
-    def _reduce():
-        # Tree-sum in VMEM. Slicing is kept 128-lane-aligned (misaligned
-        # sub-tile slices force Mosaic relayouts); below that width, and
-        # on the sublane (window) axis, partners come from rolls instead
-        # — lanes past the valid prefix compute garbage nobody reads.
-        X, Y, Z = ax[:], ay[:], az[:]
-        w = W
-        while w > 1:                                  # window axis: rolls
-            h = w // 2
-            Xp = pltpu.roll(X, W - h, 1)
-            Yp = pltpu.roll(Y, W - h, 1)
-            Zp = pltpu.roll(Z, W - h, 1)
-            X, Y, Z = jadd(X, Y, Z, Xp, Yp, Zp)
-            w = h
-        X, Y, Z = X[:, 0], Y[:, 0], Z[:, 0]           # (B, TL)
-        t = TL
-        while t > 128:                                # aligned halving
-            h = t // 2
-            X, Y, Z = jadd(X[:, :h], Y[:, :h], Z[:, :h],
-                           X[:, h:t], Y[:, h:t], Z[:, h:t])
-            t = h
-        width = t                                     # <= 128 lanes now
-        while t > 1:                                  # lane axis: rolls
-            h = t // 2
-            Xp = pltpu.roll(X, width - h, 1)
-            Yp = pltpu.roll(Y, width - h, 1)
-            Zp = pltpu.roll(Z, width - h, 1)
-            X, Y, Z = jadd(X, Y, Z, Xp, Yp, Zp)
-            t = h
-        ox_ref[0, 0, :] = X[:, 0]
-        oy_ref[0, 0, :] = Y[:, 0]
-        oz_ref[0, 0, :] = Z[:, 0]
+    # Tree-sum in VMEM. Slicing is kept 128-lane-aligned (misaligned
+    # sub-tile slices force Mosaic relayouts); below that width, and
+    # on the sublane (window) axis, partners come from rolls instead
+    # — lanes past the valid prefix compute garbage nobody reads.
+    w = W
+    while w > 1:                                  # window axis: rolls
+        h = w // 2
+        Xp = pltpu.roll(X, W - h, 1)
+        Yp = pltpu.roll(Y, W - h, 1)
+        Zp = pltpu.roll(Z, W - h, 1)
+        X, Y, Z = jadd(X, Y, Z, Xp, Yp, Zp)
+        w = h
+    X, Y, Z = X[:, 0], Y[:, 0], Z[:, 0]           # (B, TL)
+    t = TL
+    while t > 128:                                # aligned halving
+        h = t // 2
+        X, Y, Z = jadd(X[:, :h], Y[:, :h], Z[:, :h],
+                       X[:, h:t], Y[:, h:t], Z[:, h:t])
+        t = h
+    # stop at one full 128-lane register per commitment: the last seven
+    # roll levels run the whole VPU for <=128 live lanes (mostly wasted)
+    # and dominated the round-3 kernel; a tiny XLA tree over the
+    # (n_tiles, B, 128) partials finishes the sum instead.
+    ox_ref[0] = X
+    oy_ref[0] = Y
+    oz_ref[0] = Z
 
 
 def _pad_pow2(n: int) -> int:
@@ -246,7 +237,7 @@ def commit_many_pallas(F, table: FixedBaseTable, scalars: jnp.ndarray,
     if W & (W - 1):
         raise ValueError("window count must be a power of two "
                          "(build_commit_table pads it)")
-    TL = min(tile, _pad_pow2(L))
+    TL = max(128, min(tile, _pad_pow2(L)))   # kernel emits (B, 128)
     n_tiles = -(-L // TL)
     Lp = n_tiles * TL
     # bucket-major table layout (nb, W, L): the streamed (bucket) axis
@@ -269,55 +260,57 @@ def commit_many_pallas(F, table: FixedBaseTable, scalars: jnp.ndarray,
     R = (1 << 32) % p
     enc = lambda c: (c * R) % p
     kern = functools.partial(
-        _commit_kernel, p, npr, R, enc(2), enc(3), enc(8), wb, B, W, TL)
-    out_shape = jax.ShapeDtypeStruct((n_tiles, 1, B), U32)
+        _commit_kernel, p, npr, R, enc(2), enc(3), enc(8), wb, B, W, TL,
+        nb)
+    out_shape = jax.ShapeDtypeStruct((n_tiles, B, 128), U32)
     mem = pl.ANY if interpret else pltpu.VMEM
     ox, oy, oz = pl.pallas_call(
         kern,
-        grid=(n_tiles, nb - 1),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((B, TL), lambda t, d: (0, t), memory_space=mem),
-            pl.BlockSpec((1, W, TL), lambda t, d: (d + 1, 0, t),
+            pl.BlockSpec((B, TL), lambda t: (0, t), memory_space=mem),
+            pl.BlockSpec((nb, W, TL), lambda t: (0, 0, t),
                          memory_space=mem),
-            pl.BlockSpec((1, W, TL), lambda t, d: (d + 1, 0, t),
+            pl.BlockSpec((nb, W, TL), lambda t: (0, 0, t),
                          memory_space=mem),
-            pl.BlockSpec((1, W, TL), lambda t, d: (d + 1, 0, t),
+            pl.BlockSpec((nb, W, TL), lambda t: (0, 0, t),
                          memory_space=mem),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, B), lambda t, d: (t, 0, 0),
+            pl.BlockSpec((1, B, 128), lambda t: (t, 0, 0),
                          memory_space=mem),
-            pl.BlockSpec((1, 1, B), lambda t, d: (t, 0, 0),
+            pl.BlockSpec((1, B, 128), lambda t: (t, 0, 0),
                          memory_space=mem),
-            pl.BlockSpec((1, 1, B), lambda t, d: (t, 0, 0),
+            pl.BlockSpec((1, B, 128), lambda t: (t, 0, 0),
                          memory_space=mem),
         ],
         out_shape=[out_shape, out_shape, out_shape],
-        scratch_shapes=[
-            pltpu.VMEM((B, W, TL), U32),
-            pltpu.VMEM((B, W, TL), U32),
-            pltpu.VMEM((B, W, TL), U32),
-        ],
         interpret=interpret,
     )(scalars, tx, ty, tinf)
 
-    # tiny XLA tree over the per-tile partials (n_tiles is ~dozens)
+    # small XLA tree over the per-tile 128-lane partials:
+    # (n_tiles, B, 128) -> (B, 128) over tiles, then 7 lane halvings
     from .curve import jac_add
-    terms = G1J(ox[:, 0].T, oy[:, 0].T, oz[:, 0].T)   # (B, n_tiles)
+    terms = G1J(ox, oy, oz)                       # (n_tiles, B, 128)
     m = _pad_pow2(n_tiles)
     if m != n_tiles:
-        pad = G1J.identity(F, (B, m - n_tiles))
-        terms = G1J(jnp.concatenate([terms.X, pad.X], axis=1),
-                    jnp.concatenate([terms.Y, pad.Y], axis=1),
-                    jnp.concatenate([terms.Z, pad.Z], axis=1))
+        pad = G1J.identity(F, (m - n_tiles, B, 128))
+        terms = G1J(jnp.concatenate([terms.X, pad.X]),
+                    jnp.concatenate([terms.Y, pad.Y]),
+                    jnp.concatenate([terms.Z, pad.Z]))
     while m > 1:
         h = m // 2
-        terms = jac_add(F, G1J(terms.X[:, :h], terms.Y[:, :h],
-                               terms.Z[:, :h]),
-                        G1J(terms.X[:, h:], terms.Y[:, h:],
-                            terms.Z[:, h:]))
+        terms = jac_add(F, G1J(terms.X[:h], terms.Y[:h], terms.Z[:h]),
+                        G1J(terms.X[h:], terms.Y[h:], terms.Z[h:]))
         m = h
-    return G1J(terms.X[:, 0], terms.Y[:, 0], terms.Z[:, 0])
+    cur = G1J(terms.X[0], terms.Y[0], terms.Z[0])  # (B, 128)
+    t = 128
+    while t > 1:
+        h = t // 2
+        cur = jac_add(F, G1J(cur.X[:, :h], cur.Y[:, :h], cur.Z[:, :h]),
+                      G1J(cur.X[:, h:t], cur.Y[:, h:t], cur.Z[:, h:t]))
+        t = h
+    return G1J(cur.X[:, 0], cur.Y[:, 0], cur.Z[:, 0])
 
 
 def build_commit_table(F, pts: G1, scalar_bits: int,

@@ -65,6 +65,9 @@ ref = jax.jit(lambda s: FB.msm_fixed_base_many(Fq, stbl, s,
                                                mode="select"))(sc)
 base = (np.asarray(ref.x), np.asarray(ref.y), np.asarray(ref.inf))
 
+tiles = ([int(t) for t in sys.argv[3].split(",")]
+         if len(sys.argv) > 3 else [1024])
+
 for wb in widths:
     try:
         t0 = time.perf_counter()
@@ -75,17 +78,27 @@ for wb in widths:
         tbl = FB.FixedBaseTable(tx, ty, ti, wb)
         jax.block_until_ready(tbl.x)
         build_s = time.perf_counter() - t0
-        fn = jax.jit(lambda tx, ty, ti, s: PM.msm_fixed_base_many_pallas(
-            Fq, FB.FixedBaseTable(tx, ty, ti, wb), s))
-        dt = timeit(lambda s: fn(tbl.x, tbl.y, tbl.inf, s), sc)
-        out = fn(tbl.x, tbl.y, tbl.inf, sc)
-        ok = (np.array_equal(base[0], np.asarray(out.x))
-              and np.array_equal(base[1], np.asarray(out.y))
-              and np.array_equal(base[2], np.asarray(out.inf)))
-        gib = tbl.x.nbytes * 2 / 2**30
-        print(json.dumps({"wb": wb, "pallas_commit9_ms": round(dt * 1000, 2),
-                          "table_gib": round(gib, 3),
-                          "build_s": round(build_s, 1),
-                          "parity": ok}), flush=True)
     except Exception as e:
         print(json.dumps({"wb": wb, "error": str(e)[:160]}), flush=True)
+        continue
+    for tile in tiles:
+        try:
+            fn = jax.jit(lambda tx, ty, ti, s, tile=tile, wb=wb:
+                         PM.msm_fixed_base_many_pallas(
+                             Fq, FB.FixedBaseTable(tx, ty, ti, wb), s,
+                             tile=tile))
+            dt = timeit(lambda s: fn(tbl.x, tbl.y, tbl.inf, s), sc,
+                        reps=10)
+            out = fn(tbl.x, tbl.y, tbl.inf, sc)
+            ok = (np.array_equal(base[0], np.asarray(out.x))
+                  and np.array_equal(base[1], np.asarray(out.y))
+                  and np.array_equal(base[2], np.asarray(out.inf)))
+            gib = tbl.x.nbytes * 2 / 2**30
+            print(json.dumps({"wb": wb, "tile": tile,
+                              "pallas_commit9_ms": round(dt * 1000, 2),
+                              "table_gib": round(gib, 3),
+                              "build_s": round(build_s, 1),
+                              "parity": ok}), flush=True)
+        except Exception as e:
+            print(json.dumps({"wb": wb, "tile": tile,
+                              "error": str(e)[:160]}), flush=True)
