@@ -113,7 +113,9 @@ def bench_ntt(log_n: int = 20):
         try:
             fn = jax.jit(lambda v, op=onepass: fused_ntt_natural(
                 M, v, w, onepass=op))
-            secs, out = _timeit(fn, x)
+            # ~100 us kernels: many async reps or the result is a
+            # sync-latency lottery (measured 78M..12G elems/s swings)
+            secs, out = _timeit(fn, x, reps=50)
             # on-device parity vs the plain-XLA reshape-butterfly path,
             # bit for bit (VERDICT round-1 weak 3)
             assert bool(jnp.array_equal(out, ref)), \
@@ -149,7 +151,7 @@ def bench_ntt_batched(log_n: int = 20, batch: int = 8):
         try:
             fn = jax.jit(lambda v, op=onepass: fused_ntt_natural(
                 M, v, w, onepass=op))
-            secs, _ = _timeit(fn, x)
+            secs, _ = _timeit(fn, x, reps=20)
             best = secs if best is None else min(best, secs)
         except Exception:
             if onepass:

@@ -244,11 +244,13 @@ class PoseidonFsProver:
         B = np.asarray(a_w).shape[0]
         pi = (jnp.zeros((B, ctx.n), U32) if public_inputs is None
               else jnp.asarray(public_inputs, U32))
-        c1, c2, c3, c4, evals, ch, nonce, bits = self._run_many(
+        out = self._run_many(
             *self._common_args(), jnp.asarray(a_w, U32),
             jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
             jnp.asarray(rand9, U32), pi)
-        bits = np.asarray(bits)
+        # ONE bulk device->host fetch: per-field np.asarray would pay a
+        # tunnel round trip per proof field per lane (~20*B transfers)
+        c1, c2, c3, c4, evals, ch, nonce, bits = jax.device_get(out)
         import jax.tree_util as jtu
         lane = lambda t, i: jtu.tree_map(lambda x: x[i], t)
         return [self._assemble(lane(c1, i), lane(c2, i), lane(c3, i),
@@ -261,12 +263,11 @@ class PoseidonFsProver:
         ctx = self.ctx
         pi = (jnp.zeros((ctx.n,), U32) if public_inputs is None
               else jnp.asarray(public_inputs, U32))
-        c1, c2, c3, c4, evals, ch, nonce, bits = self._run(
+        out = self._run(
             *self._common_args(), jnp.asarray(a_w, U32),
             jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
             jnp.asarray(rand9, U32), pi)
-        return self._assemble(c1, c2, c3, c4, evals, ch, nonce,
-                              np.asarray(bits))
+        return self._assemble(*jax.device_get(out))
 
 
 def derive_challenges_host(ctx, vk_points, proof, nonce: int,

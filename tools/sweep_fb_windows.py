@@ -70,7 +70,7 @@ for wb in widths:
         fn = jax.jit(lambda tx, ty, ti, s: FB.msm_fixed_base_many(
             Fq, FB.FixedBaseTable(tx, ty, ti, tbl.window_bits), s,
             mode="select"))
-        dt = timeit(lambda s: fn(tbl.x, tbl.y, tbl.inf, s), sc)
+        dt = timeit(lambda s: fn(tbl.x, tbl.y, tbl.inf, s), sc, reps=10)
         out = fn(tbl.x, tbl.y, tbl.inf, sc)
         if base is None:
             base = (np.asarray(out.x), np.asarray(out.y),

@@ -133,6 +133,39 @@ def main():
     print(json.dumps({"exp": "one_butterfly_stage_2e22",
                       "ms": round(dt * 1e3, 3)}), flush=True)
 
+    # 9. tunnel sync (completion) latency: sync-per-call minus the
+    # async-pipelined per-call time, for a small and a prover-sized
+    # program. This is the artifact that inflates every sync-per-call
+    # benchmark (measured 0.1 ms small / ~24 ms large on 2026-08-19;
+    # varies by day) — see CLAUDE.md. Time N async dispatches, sync
+    # once; never time sync-per-call.
+    for label, fn, arg in [
+            ("small", jax.jit(lambda x: x + 1),
+             jnp.ones((8, 128), jnp.uint32)),
+            ("chain64_2e20", jax.jit(
+                lambda x: jax.lax.fori_loop(
+                    0, 64, lambda i, v: M.mul(v, v), x)),
+             M.encode(jnp.arange(1 << 20, dtype=jnp.uint32)
+                      % jnp.uint32(M.p - 1) + 1))]:
+        out = fn(arg)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            jax.block_until_ready(fn(arg))
+        sync = (time.perf_counter() - t0) / 8
+        t0 = time.perf_counter()
+        o = arg
+        for _ in range(8):
+            o = fn(arg)
+        jax.block_until_ready(o)
+        asyn = (time.perf_counter() - t0) / 8
+        print(json.dumps({"exp": f"sync_latency_{label}",
+                          "sync_ms": round(sync * 1e3, 3),
+                          "async_ms": round(asyn * 1e3, 3),
+                          "sync_overhead_ms":
+                              round((sync - asyn) * 1e3, 3)}),
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
