@@ -190,20 +190,18 @@ def _commit_kernel(p: int, n_prime: int, one: int, enc2: int, enc3: int,
         Y = jnp.where(hit, jnp.where(tinf, onej, ty_ref[d][None]), Y)
         Z = jnp.where(hit, jnp.where(tinf, jnp.uint32(0), onej), Z)
 
-    # Tree-sum in VMEM. Slicing is kept 128-lane-aligned (misaligned
-    # sub-tile slices force Mosaic relayouts); below that width, and
-    # on the sublane (window) axis, partners come from rolls instead
-    # — lanes past the valid prefix compute garbage nobody reads.
-    w = W
-    while w > 1:                                  # window axis: rolls
-        h = w // 2
-        Xp = pltpu.roll(X, W - h, 1)
-        Yp = pltpu.roll(Y, W - h, 1)
-        Zp = pltpu.roll(Z, W - h, 1)
-        X, Y, Z = jadd(X, Y, Z, Xp, Yp, Zp)
-        w = h
-    X, Y, Z = X[:, 0], Y[:, 0], Z[:, 0]           # (B, TL)
-    t = TL
+    # Tree-sum in VMEM. The round-3 kernel reduced the window axis with
+    # pltpu.roll partners — each of the log2(W) levels ran the FULL
+    # (B, W, TL) width, so 8 windows cost 24 full-width jadd-equivalents
+    # with most lanes computing garbage nobody reads. Flattening the
+    # (W, TL) block onto the lane axis instead makes every halving step
+    # a contiguous 128-aligned slice and every lane useful: total work
+    # is ~W*TL jadd-lanes per commitment (3.2x less), the dominant cost
+    # of the whole kernel.
+    X = X.reshape(B, W * TL)
+    Y = Y.reshape(B, W * TL)
+    Z = Z.reshape(B, W * TL)
+    t = W * TL
     while t > 128:                                # aligned halving
         h = t // 2
         X, Y, Z = jadd(X[:, :h], Y[:, :h], Z[:, :h],
