@@ -555,7 +555,8 @@ class BN254VK(NamedTuple):
     s3_s: BigG1Affine
 
 
-def make_vk_bn254(ctx: BN254Context, selectors, copies) -> BN254VK:
+def make_vk_bn254(ctx: BN254Context, selectors, copies,
+                  prims: "BN254Prims | None" = None) -> BN254VK:
     Fr = ctx.Fr
     tabs = _host_tables(ctx.n, ctx.k1, ctx.k2, ctx.coset_shift)
     table = jnp.stack([jnp.asarray(tabs["h"]), jnp.asarray(tabs["k1h"]),

@@ -195,17 +195,20 @@ def _peval_fast(F, coeffs: jnp.ndarray, x) -> jnp.ndarray:
 
 def use_pallas_commit() -> bool:
     """Fused Pallas sweep+tree commit kernel (ops/pallas_msm.py):
-    default OFF — swept on the real chip at 2^16 (round 3,
-    tools/sweep_pallas_wb.py vs tools/sweep_fb_windows.py): fused kernel
-    15.8 ms (wb=4) vs XLA select sweep 10.2 ms (wb=5); the kernel's
-    sequential bucket grid + roll-based tree lose to XLA's pipelined
-    select rewrites. PLONK_TPU_PALLAS_MSM=1 opts in (parity-checked on
-    device)."""
+    default ON for accelerators since round 3c — after flattening the
+    in-VMEM reduction onto the lane axis the kernel wins the on-device
+    sweep (tools/sweep_pallas_wb.py, 2^16, 9 commits, async reps=10):
+    4.84 ms at wb=4/tile=1024 vs 8.2 ms for the XLA select sweep at
+    wb=5 (the round-3a kernel lost at 15.8 ms: sequential bucket grid +
+    full-width roll tree). Parity-checked on device every bench run
+    (bench.check_pallas_commit_parity). PLONK_TPU_PALLAS_MSM=0 opts
+    back into the select sweep; on the CPU backend the kernel only
+    exists in interpret mode, so the XLA paths stay the default."""
     import os
     flag = os.environ.get("PLONK_TPU_PALLAS_MSM")
     if flag is not None:
         return flag == "1"
-    return False
+    return jax.default_backend() != "cpu"
 
 
 def fixed_base_table(ctx: ScaledContext):
