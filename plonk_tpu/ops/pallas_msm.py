@@ -28,13 +28,15 @@ jac_double (a = 0 short Weierstrass, Z == 0 encodes infinity).
 Reference counterpart: src/srs.h:53-68 (srs_commit) — one ladder per
 coefficient there; one table stream for all nine commitments here.
 
-Round-3 on-device verdict (the kernel first LOWERED this round — the
-original table layout blocked a middle axis, which interpret mode
-accepts but Mosaic rejects): 15.8 ms at 2^16/wb=4 vs 10.2 ms for the
-XLA select sweep at wb=5 (tools/sweep_pallas_wb.py, parity-checked).
-The sequential bucket grid serializes what XLA pipelines, so this path
-is opt-in (PLONK_TPU_PALLAS_MSM=1), kept for the VMEM-resident tree
-pattern and as the base for a future multi-tile-parallel variant.
+Round-3 on-device history (tools/sweep_pallas_wb.py, 2^16, 9 commits):
+the first lowering ran buckets as an inner grid axis and a full-width
+roll tree — 15.8 ms, losing to the XLA select sweep (10.2 ms at wb=5).
+Folding the sweep into one grid step per tile cut it to 11.4 ms; the
+flattened-lane reduction tree (every halving step 128-aligned, every
+lane useful) cut it to 4.84 ms at wb=4/tile=1024 — now the accelerator
+DEFAULT commit path (PLONK_TPU_PALLAS_MSM=0 restores the select sweep).
+Parity vs the XLA fixed-base path is asserted on device by every bench
+run (bench.check_pallas_commit_parity).
 """
 from __future__ import annotations
 
