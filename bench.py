@@ -340,9 +340,13 @@ def bench_bn254_prover(log_n: int = 10):
     aw, bw, cw = words_vec(a), words_vec(b), words_vec(c)
     ch = words_vec([111111, 222222, 333333, 444444, 555555])
     rnd = words_vec(list(range(17, 26)))
-    fn = jax.jit(lambda x, y, z, ch_, rd: PB.prove_bn254(
-        ctx, sel, copies, x, y, z, ch_, rd))
-    secs, (proof, diags) = _timeit(fn, aw, bw, cw, ch, rnd, reps=3)
+    # compile-once prover with the circuit tables precomputed
+    # (precompute_bn254) — the production deployment shape
+    prover = PB.make_prover_bn254(ctx, sel, copies)
+    aj, bj, cj = (jax.device_put(jnp.asarray(v, jnp.uint32))
+                  for v in (aw, bw, cw))
+    fn = lambda ch_, rd: prover(aj, bj, cj, ch_, rd)
+    secs, (proof, diags) = _timeit(fn, ch, rnd, reps=6)
     assert bool(diags.all_ok()), "bn254 bench proof invalid"
     return 1.0 / secs
 
@@ -378,8 +382,8 @@ def bench_bn254_verify_many(log_n: int = 6, batch: int = 8):
     aw, bw, cw = words_vec(a), words_vec(b), words_vec(c)
     rnd = words_vec(list(range(17, 26)))
     vk = PB.make_vk_bn254(ctx, sel, copies)
-    prove = jax.jit(lambda ch_: PB.prove_bn254(
-        ctx, sel, copies, aw, bw, cw, ch_, rnd))
+    prover = PB.make_prover_bn254(ctx, sel, copies)
+    prove = lambda ch_: prover(aw, bw, cw, ch_, rnd)
     proofs, chs = [], []
     for i in range(batch):
         ch = words_vec([111111 + i, 222222 + i, 333333 + i, 444444 + i,
@@ -626,6 +630,17 @@ def main():
                                  "10" if cpu_fb else "14"))
     B.lane(f"plonk_fs_poseidon_2e{fs_logn}_b8_proofs_per_s",
            lambda: bench_fs_poseidon(fs_logn), est_s=300, round_to=3)
+    B.lane("pallas_commit_parity_on_device",
+           lambda: check_pallas_commit_parity(), est_s=120)
+    # production-curve lanes (hour-scale XLA:CPU compiles — TPU-only);
+    # ahead of the remaining micro-lanes: a proofs/s number on the REAL
+    # curve outranks another kernel throughput datapoint
+    if not cpu_fb:
+        pb_logn = int(os.environ.get("PLONK_TPU_BENCH_BN254_LOGN", "10"))
+        B.lane(f"plonk_bn254_2e{pb_logn}_proofs_per_s",
+               lambda: bench_bn254_prover(pb_logn), est_s=420, round_to=3)
+        B.lane("bn254_verify_many_b8_per_s",
+               lambda: bench_bn254_verify_many(), est_s=420, round_to=3)
     bn_logn = 16 if not cpu_fb else 12
     B.lane(f"ntt_bn254_2e{bn_logn}_elems_per_s",
            lambda: bench_ntt_bn254(bn_logn), est_s=180)
@@ -634,15 +649,6 @@ def main():
            est_s=240)
     B.lane(f"msm_toy_2e{msm_logn}_points_per_s",
            lambda: bench_msm(msm_logn), est_s=120)
-    B.lane("pallas_commit_parity_on_device",
-           lambda: check_pallas_commit_parity(), est_s=120)
-    # hour-scale XLA:CPU compiles (the pairing tape) — TPU-only lanes
-    if not cpu_fb:
-        pb_logn = int(os.environ.get("PLONK_TPU_BENCH_BN254_LOGN", "10"))
-        B.lane(f"plonk_bn254_2e{pb_logn}_proofs_per_s",
-               lambda: bench_bn254_prover(pb_logn), est_s=420, round_to=3)
-        B.lane("bn254_verify_many_b8_per_s",
-               lambda: bench_bn254_verify_many(), est_s=420, round_to=3)
 
     result["bench_total_seconds"] = round(time.monotonic() - _START, 1)
     B.emit()

@@ -471,8 +471,13 @@ class BN254FsProver:
             return PB.BigG1Affine(Fq.decode(cms.x), Fq.decode(cms.y),
                                   cms.inf)
 
-        def s1(a, b, c, rnd, pi):
-            st = PB._stage_prep(ctx, sel, cps, a, b, c, rnd, pi, prims)
+        # circuit-fixed tables once (runtime argument, not a baked const)
+        pre = jax.jit(lambda s, c: PB.precompute_bn254(
+            ctx, s, c, prims))(sel, cps)
+        pre = jax.tree_util.tree_map(jax.block_until_ready, pre)
+
+        def s1(pre_, a, b, c, rnd, pi):
+            st = PB._stage_prep(ctx, a, b, c, rnd, prims, pre_, pi)
             cms = prims.commit_many([st["a_x"], st["b_x"], st["c_x"]])
             return st, dec_pts(cms)
 
@@ -502,8 +507,9 @@ class BN254FsProver:
                       "r_z", "z_omega_z")}
             return evals, dec_pts(cms), q5["rem1"], q5["rem2"]
 
-        self._s1, self._s2, self._s3, self._s4 = (
-            jax.jit(s) for s in (s1, s2, s3, s4))
+        js1, js2, js3, js4 = (jax.jit(s) for s in (s1, s2, s3, s4))
+        self._s1 = lambda *a: js1(pre, *a)
+        self._s2, self._s3, self._s4 = js2, js3, js4
 
     def prove(self, a_w, b_w, c_w, rand9, public_inputs=None,
               max_retries: int = 32):

@@ -173,11 +173,29 @@ def _words_std(v: int, n_words: int = FR_WORDS) -> np.ndarray:
                     dtype=np.uint32)
 
 
-def bn254_setup(n: int, secret: int = 20260817, rolled: bool = False
-                ) -> BN254Context:
+def bn254_setup(n: int, secret: int = 20260817, rolled: bool = False,
+                cache: bool = True) -> BN254Context:
     """Trusted setup: tau-power SRS over BN254 (the intended construction
     — the reference's degenerate-SRS bug, src/srs.h:27, is preserved only
-    in the toy dialect; a production curve gets the real thing)."""
+    in the toy dialect; a production curve gets the real thing).
+
+    The SRS is deterministic in (n, secret) and costs minutes of
+    fixed-base EC work through the TPU tunnel, so the affine point table
+    is disk-cached host-side (~/.cache/plonk_tpu) — the same pattern as
+    the scaled prover's fixed-base table cache."""
+    if cache:
+        cdir = os.path.expanduser("~/.cache/plonk_tpu")
+        os.makedirs(cdir, exist_ok=True)
+        cpath = os.path.join(cdir, f"bn254_srs_n{n}_s{secret}.npz")
+        if os.path.exists(cpath):
+            z = np.load(cpath)
+            srs = BN254SRS(
+                g1s=BigG1Affine(jnp.asarray(z["x"]), jnp.asarray(z["y"]),
+                                jnp.asarray(z["inf"])),
+                g2_1x=jnp.asarray(z["g2_1x"]), g2_1y=jnp.asarray(z["g2_1y"]),
+                g2_sx=jnp.asarray(z["g2_sx"]), g2_sy=jnp.asarray(z["g2_sy"]),
+                length=int(z["length"]))
+            return BN254Context(srs=srs, n=n, rolled=rolled)
     r = BN254_FR.p
     Fq = BigMontField(BN254_FQ)
     tau = secret % r
@@ -203,6 +221,13 @@ def bn254_setup(n: int, secret: int = 20260817, rolled: bool = False
     g2_sx, g2_sy, _ = BPair.g2_to_affine(Fqp, g2s)
     srs = BN254SRS(g1s=g1s, g2_1x=g2_1x, g2_1y=g2_1y, g2_sx=g2_sx,
                    g2_sy=g2_sy, length=length)
+    if cache:
+        tmp = cpath + ".tmp.npz"
+        np.savez(tmp[:-4], x=np.asarray(x), y=np.asarray(y),
+                 inf=np.asarray(inf), g2_1x=np.asarray(g2_1x),
+                 g2_1y=np.asarray(g2_1y), g2_sx=np.asarray(g2_sx),
+                 g2_sy=np.asarray(g2_sy), length=length)
+        os.replace(tmp, cpath)
     return BN254Context(srs=srs, n=n, rolled=rolled)
 
 
@@ -243,16 +268,64 @@ def _host_tables(n: int, k1: int, k2: int, shift: int):
 # ---------- the staged pipeline ----------
 
 
-def _stage_prep(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
-                rand9, public_inputs, prims: BN254Prims | None = None):
-    """Encode, witness check, sigma gathers, 12 batched interpolations,
-    round-1 blinding (src/plonk.h:231-301 structure)."""
+def precompute_bn254(ctx: BN254Context, selectors, copies,
+                     prims: BN254Prims | None = None) -> dict:
+    """Witness- and challenge-independent circuit tables: selector/sigma
+    values, their 9 coefficient polynomials (q_o q_m q_l q_r q_c s1 s2 s3
+    L1) and their 4n-coset evaluations, plus the INVERSE z_H coset row (a
+    254-bit Fermat chain is ~380 CIOS multiplies per element — circuit-
+    fixed, so it is paid once). A fixed circuit pays all of this ONCE:
+    make_prover_bn254 computes it eagerly and threads it through as
+    runtime arguments, cutting the per-proof transform stack from 12+16+1
+    rows to 4+6 (the "preprocessed polynomials" of standard PLONK; the
+    reference recomputes everything per proof, src/plonk.h:265-275).
+    The sibling of plonk_scaled.precompute_circuit at 254-bit scale."""
     Fr = ctx.Fr
     n = ctx.n
+    m = 4 * n
     tabs = _host_tables(n, ctx.k1, ctx.k2, ctx.coset_shift)
+    prims = prims or _local_prims(ctx)
+
+    sel = Fr.encode(jnp.asarray(selectors, U32))    # (5, n, limbs)
+    table = jnp.stack([jnp.asarray(tabs["h"]), jnp.asarray(tabs["k1h"]),
+                       jnp.asarray(tabs["k2h"])])
+    copies = jnp.asarray(copies)
+    sig = [table[copies[i, :, 0], copies[i, :, 1] - 1] for i in range(3)]
+    sigma_v = jnp.stack(sig)
+
+    # 9 interpolations: q_o q_m q_l q_r q_c s1 s2 s3 L1
+    # (selector row order is q_l q_r q_o q_m q_c, src/constraints.h:35-47)
+    e0 = jnp.zeros((n, Fr.limbs), U32).at[0].set(Fr.const(1))
+    circ = jnp.stack([sel[2], sel[3], sel[0], sel[1], sel[4],
+                      sigma_v[0], sigma_v[1], sigma_v[2], e0])
+    polys = prims.intt_n(Fr, circ)
+
+    shift_pows = jnp.asarray(tabs["shift_pows"])
+    zh_coeffs = jnp.zeros((n + 1, Fr.limbs), U32)
+    zh_coeffs = zh_coeffs.at[0].set(Fr.neg(Fr.const(1))).at[n].set(
+        Fr.const(1))
+    stack10 = jnp.stack([BPol.pad_to(polys[i], m) for i in range(9)]
+                        + [BPol.pad_to(zh_coeffs, m)])
+    evs = prims.ntt4n(Fr, Fr.mont_mul(stack10, shift_pows))
+    # row 9 is stored INVERTED: t_e = t_num_e * zh_inv_e per proof
+    circ_e = evs.at[9].set(Fr.inv(evs[9]))
+
+    return dict(sel_v=sel, sigma_v=sigma_v,
+                circ_x=polys,        # (9, n, limbs) coefficient polys
+                circ_e=circ_e,       # (10, m, limbs): ..., l1, 1/zh
+                h_mont=jnp.asarray(tabs["h"]))
+
+
+def _stage_prep(ctx: BN254Context, a_w, b_w, c_w, rand9,
+                prims: BN254Prims, pre: dict, public_inputs=None):
+    """Encode, witness check, the 4 witness interpolations, round-1
+    blinding (src/plonk.h:231-301 structure); circuit-fixed tables come
+    from precompute_bn254."""
+    Fr = ctx.Fr
+    n = ctx.n
 
     rnd = Fr.encode(rand9)
-    sel = Fr.encode(selectors)                      # (5, n, limbs)
+    sel = pre["sel_v"]
     q_l_v, q_r_v, q_o_v, q_m_v, q_c_v = (sel[i] for i in range(5))
     a_v, b_v, c_v = Fr.encode(a_w), Fr.encode(b_w), Fr.encode(c_w)
     pi_v = (jnp.zeros((n, Fr.limbs), U32) if public_inputs is None
@@ -265,18 +338,9 @@ def _stage_prep(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
                Fr.add(Fr.mont_mul(q_m_v, Fr.mont_mul(a_v, b_v)), q_c_v)))
     satisfied = jnp.all(lhs == 0)
 
-    table = jnp.stack([jnp.asarray(tabs["h"]), jnp.asarray(tabs["k1h"]),
-                       jnp.asarray(tabs["k2h"])])
-    copies = jnp.asarray(copies)
-    sig = [table[copies[i, :, 0], copies[i, :, 1] - 1] for i in range(3)]
-    sigma_1, sigma_2, sigma_3 = sig
-
-    stacked = jnp.stack([a_v, b_v, c_v, q_o_v, q_m_v, q_l_v, q_r_v, q_c_v,
-                         sigma_1, sigma_2, sigma_3, pi_v])
-    prims = prims or _local_prims(ctx)
+    stacked = jnp.stack([a_v, b_v, c_v, pi_v])
     polys = prims.intt_n(Fr, stacked)
-    (f_a_x, f_b_x, f_c_x, q_o_x, q_m_x, q_l_x, q_r_x, q_c_x,
-     s_sigma_1, s_sigma_2, s_sigma_3, pi_x) = (polys[i] for i in range(12))
+    f_a_x, f_b_x, f_c_x, pi_x = (polys[i] for i in range(4))
 
     def blind2(b_hi, b_lo, f):
         out = jnp.zeros((n + 2, Fr.limbs), U32)
@@ -284,15 +348,18 @@ def _stage_prep(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
         out = out.at[n].set(b_lo).at[n + 1].set(b_hi)
         return BPol.padd(Fr, out, f)
 
+    cx = pre["circ_x"]
     return dict(
         rnd=rnd, a_v=a_v, b_v=b_v, c_v=c_v, satisfied=satisfied,
-        sigma_1=sigma_1, sigma_2=sigma_2, sigma_3=sigma_3,
-        q_o_x=q_o_x, q_m_x=q_m_x, q_l_x=q_l_x, q_r_x=q_r_x, q_c_x=q_c_x,
-        s_sigma_1=s_sigma_1, s_sigma_2=s_sigma_2, s_sigma_3=s_sigma_3,
+        sigma_1=pre["sigma_v"][0], sigma_2=pre["sigma_v"][1],
+        sigma_3=pre["sigma_v"][2],
+        q_o_x=cx[0], q_m_x=cx[1], q_l_x=cx[2], q_r_x=cx[3], q_c_x=cx[4],
+        s_sigma_1=cx[5], s_sigma_2=cx[6], s_sigma_3=cx[7],
+        l_1_x=cx[8], circ_e=pre["circ_e"],
         a_x=blind2(rnd[0], rnd[1], f_a_x),
         b_x=blind2(rnd[2], rnd[3], f_b_x),
         c_x=blind2(rnd[4], rnd[5], f_c_x),
-        pi_x=pi_x, h_mont=jnp.asarray(tabs["h"]))
+        pi_x=pi_x, h_mont=pre["h_mont"])
 
 
 def _stage_grand_product(ctx: BN254Context, st, beta, gamma,
@@ -324,7 +391,9 @@ def _stage_grand_product(ctx: BN254Context, st, beta, gamma,
         jnp.all(jnp.any(numer != 0, axis=-1)),
         jnp.all(jnp.any(denom != 0, axis=-1)))
     prims = prims or _local_prims(ctx)
-    fractions = Fr.mont_mul(denom, Fr.inv(numer))
+    # batched Montgomery-trick inversion: one Fermat chain for the whole
+    # column instead of n-1 (~380 CIOS muls each) — bit-identical values
+    fractions = Fr.mont_mul(denom, BPol.batch_inv(Fr, numer))
     acc = prims.grand_product(Fr, fractions)
     acc_x = prims.intt_n(Fr, acc)
 
@@ -350,20 +419,18 @@ def _stage_quotient(ctx: BN254Context, st, z_x, alpha, beta, gamma,
     w8 = ctx.omega4
 
     z_omega_x = Fr.mont_mul(z_x, omega_pows_z[:z_x.shape[-2]])
-    e0 = jnp.zeros((n, Fr.limbs), U32).at[0].set(Fr.const(1))
     prims = prims or _local_prims(ctx)
-    l_1_x = prims.intt_n(Fr, e0)
-    zh = jnp.zeros((n + 1, Fr.limbs), U32)
-    zh_coeffs = zh.at[0].set(Fr.neg(Fr.const(1))).at[n].set(Fr.const(1))
-    stack16 = jnp.stack([BPol.pad_to(c, m) for c in
-                         (st["a_x"], st["b_x"], st["c_x"], z_x, z_omega_x,
-                          st["q_l_x"], st["q_r_x"], st["q_o_x"],
-                          st["q_m_x"], st["q_c_x"], st["s_sigma_1"],
-                          st["s_sigma_2"], st["s_sigma_3"], l_1_x,
-                          zh_coeffs, st["pi_x"])])
-    evs = prims.ntt4n(Fr, Fr.mont_mul(stack16, shift_pows))
-    (a_e, b_e, c_e, z_e, zw_e, ql_e, qr_e, qo_e, qm_e, qc_e,
-     s1_e, s2_e, s3_e, l1_e, zh_e, pi_e) = (evs[i] for i in range(16))
+    l_1_x = st["l_1_x"]
+    # only the PER-PROOF rows ride the forward coset transform; the 10
+    # circuit-fixed rows (selectors, sigmas, L1, 1/z_H) come precomputed
+    stack6 = jnp.stack([BPol.pad_to(c, m) for c in
+                        (st["a_x"], st["b_x"], st["c_x"], z_x, z_omega_x,
+                         st["pi_x"])])
+    evs = prims.ntt4n(Fr, Fr.mont_mul(stack6, shift_pows))
+    a_e, b_e, c_e, z_e, zw_e, pi_e = (evs[i] for i in range(6))
+    ce = st["circ_e"]
+    (qo_e, qm_e, ql_e, qr_e, qc_e, s1_e, s2_e, s3_e, l1_e, zh_inv_e) = (
+        ce[i] for i in range(10))
 
     pts = prims.perm4n(jnp.asarray(tabs["coset_pts"]))
     t1 = Fr.add(
@@ -385,7 +452,7 @@ def _stage_quotient(ctx: BN254Context, st, z_x, alpha, beta, gamma,
     alpha_sq = Fr.mont_mul(alpha, alpha)
     t4 = Fr.mont_mul(Fr.mont_mul(Fr.sub(z_e, Fr.const(1)), alpha_sq), l1_e)
     t_num_e = Fr.add(Fr.sub(Fr.add(t1, t2), t3), t4)
-    t_e = Fr.mont_mul(t_num_e, Fr.inv(zh_e))
+    t_e = Fr.mont_mul(t_num_e, zh_inv_e)
     t_full = Fr.mont_mul(prims.intt4n(Fr, t_e), inv_shift_pows)
     t_len = 3 * n + 6
     t_x = t_full[..., :t_len, :]
@@ -498,23 +565,29 @@ def _commit_many(ctx: BN254Context, coeff_list) -> BigG1Affine:
 
 def prove_bn254(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
                 challenge, rand9, public_inputs=None,
-                prims: BN254Prims | None = None
+                prims: BN254Prims | None = None, pre: dict | None = None
                 ) -> tuple[BN254Proof, BN254Diagnostics]:
     """BN254 5-round prover. Inputs in STANDARD form as 16-bit-word
     arrays: selectors (5, n, 16), copies (3, n, 2) int32, witness columns
     (n, 16), challenge (5, 16) [alpha beta gamma z v], rand9 (9, 16).
-    Jittable; wrap in jax.jit with ctx closed over."""
+    Jittable; wrap in jax.jit with ctx closed over.
+
+    `pre` takes precompute_bn254's output to skip the circuit-fixed
+    transforms (make_prover_bn254 threads it as runtime arguments); when
+    None the same tables are computed inline — identical Proof either
+    way."""
     Fr = ctx.Fr
     ch = Fr.encode(jnp.asarray(challenge, U32))
     alpha, beta, gamma, z, v = (ch[i] for i in range(5))
 
     prims = prims or _local_prims(ctx)
-    st = _stage_prep(ctx, jnp.asarray(selectors, U32),
-                     jnp.asarray(copies), jnp.asarray(a_w, U32),
+    if pre is None:
+        pre = precompute_bn254(ctx, selectors, copies, prims)
+    st = _stage_prep(ctx, jnp.asarray(a_w, U32),
                      jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
-                     jnp.asarray(rand9, U32),
+                     jnp.asarray(rand9, U32), prims, pre,
                      None if public_inputs is None
-                     else jnp.asarray(public_inputs, U32), prims)
+                     else jnp.asarray(public_inputs, U32))
     z_x, _den_ok = _stage_grand_product(ctx, st, beta, gamma, prims)
     q3 = _stage_quotient(ctx, st, z_x, alpha, beta, gamma, prims)
     q5 = _stage_openings(ctx, st, q3, z_x, alpha, beta, gamma, z, v)
@@ -539,6 +612,38 @@ def prove_bn254(ctx: BN254Context, selectors, copies, a_w, b_w, c_w,
                              w_z_rem_zero=q5["rem1"],
                              w_zw_rem_zero=q5["rem2"])
     return proof, diags
+
+
+def make_prover_bn254(ctx: BN254Context, selectors, copies,
+                      prims: BN254Prims | None = None):
+    """Compile-once BN254 prover for a fixed circuit: returns
+    fn(a_w, b_w, c_w, challenge, rand9, public_inputs=None) ->
+    (BN254Proof, BN254Diagnostics). The circuit tables
+    (precompute_bn254) are computed eagerly once and threaded through as
+    RUNTIME arguments — closure constants would be baked into the
+    compiled payload (the scaled prover's make_prover pattern; the
+    remote-compile tunnel rejects ~GB programs with HTTP 413)."""
+    base = prims if prims is not None else _local_prims(ctx)
+    sel = jnp.asarray(selectors, U32)
+    cps = jnp.asarray(copies)
+    pre = jax.jit(lambda s, c: precompute_bn254(ctx, s, c, base))(sel, cps)
+    pre = jax.tree_util.tree_map(jax.block_until_ready, pre)
+    n = ctx.n
+
+    def run(pre_, a_w, b_w, c_w, ch, rnd, pi):
+        return prove_bn254(ctx, sel, cps, a_w, b_w, c_w, ch, rnd,
+                           public_inputs=pi, prims=base, pre=pre_)
+
+    jf = jax.jit(run)
+
+    def fn(a_w, b_w, c_w, ch, rnd, public_inputs=None):
+        pi = (jnp.zeros((n, FR_WORDS), U32) if public_inputs is None
+              else jnp.asarray(public_inputs, U32))
+        return jf(pre, jnp.asarray(a_w, U32), jnp.asarray(b_w, U32),
+                  jnp.asarray(c_w, U32), jnp.asarray(ch, U32),
+                  jnp.asarray(rnd, U32), pi)
+
+    return fn
 
 
 # ---------------- verifier ----------------

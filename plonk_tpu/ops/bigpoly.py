@@ -114,6 +114,29 @@ def divide_by_linear(F: BigMontField, t: jnp.ndarray, c: jnp.ndarray):
     return q, rem
 
 
+def batch_inv(F: BigMontField, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery-trick batched inverse of an (n, limbs) vector: ONE
+    Fermat chain + ~4n multiplies instead of n chains (a 254-bit Fermat
+    inverse is ~380 CIOS multiplies each — the reference pays the analog
+    per element too, src/gf.h:159-162). inv(a_i) = P_{i-1} * S_{i+1} *
+    (prod a)^-1 from an inclusive prefix- and suffix-product pass.
+    Zero elements invert to 0 (the division convention of
+    src/hf.h:201-203), masked out of the products. The outputs are
+    bit-identical to F.inv per element — Montgomery representatives are
+    unique and every kernel keeps values fully reduced."""
+    n = a.shape[-2]
+    one = jnp.broadcast_to(F.const(1), a.shape).astype(U32)
+    is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+    b = jnp.where(is_zero, one, a)
+    pre = prefix_prod_chunked(F, b)                     # P_i, inclusive
+    suf = jnp.flip(prefix_prod_chunked(F, jnp.flip(b, axis=-2)), axis=-2)
+    tot_inv = F.inv(pre[-1])
+    p_excl = jnp.concatenate([one[:1], pre[:-1]], axis=-2)
+    s_excl = jnp.concatenate([suf[1:], one[:1]], axis=-2)
+    out = F.mont_mul(F.mont_mul(p_excl, s_excl), tot_inv[None])
+    return jnp.where(is_zero, jnp.zeros_like(out), out)
+
+
 def prefix_prod_chunked(F: BigMontField, x: jnp.ndarray,
                         n_chunks: int = 256) -> jnp.ndarray:
     """Inclusive prefix product of a (n, limbs) array: per-chunk rolled

@@ -315,6 +315,124 @@ def host_tree_digest(params: PoseidonParams, leaves) -> int:
     return xs[0]
 
 
+# ---------------- multi-limb (BN254-class) device path ----------------
+#
+# The same permutation/sponge over a BigMontField: state (..., t, limbs),
+# elements are 16-bit-word limb arrays (ops/bigfield.py). The host oracle
+# (PoseidonHost / HostSponge) is already arbitrary-precision, so the
+# verifier replay needs nothing new; device/host lockstep is asserted in
+# tests/test_poseidon.py::TestBigField. Consumed by the BN254
+# single-dispatch FS prover (models/fs_poseidon.BN254PoseidonFsProver).
+
+
+@functools.lru_cache(maxsize=None)
+def _big_host_tables(F, params: PoseidonParams):
+    """(arc (R, t, limbs), full mask (R,), mds (t, t, limbs)) Montgomery-
+    encoded host numpy (the big-field sibling of _host_tables)."""
+    arc = F.encode_host(np.asarray(params.arc, dtype=object))
+    mds = F.encode_host(np.asarray(params.mds, dtype=object))
+    full = np.asarray([params.is_full_round(r)
+                       for r in range(params.rounds)], dtype=bool)
+    return np.asarray(arc), full, np.asarray(mds)
+
+
+def big_permute(F, params: PoseidonParams, state: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Poseidon permutation on a (..., t, limbs) Montgomery-form state,
+    all rounds as ONE lax.scan over the (arc, is_full) tape."""
+    arc_h, full_h, mds_h = _big_host_tables(F, params)
+    arc, full, mds = (jnp.asarray(arc_h), jnp.asarray(full_h),
+                      jnp.asarray(mds_h))
+    t = params.t
+
+    def pow_alpha(x):
+        acc, base, e = None, x, params.alpha
+        while e:
+            if e & 1:
+                acc = base if acc is None else F.mont_mul(acc, base)
+            e >>= 1
+            if e:
+                base = F.square(base)
+        return acc
+
+    def body(s, inputs):
+        c, is_full = inputs
+        s = F.add(s, c)
+        boxed = pow_alpha(s)
+        lane0 = (jnp.arange(t) == 0)[:, None]          # (t, 1) over limbs
+        s = jnp.where(is_full | lane0, boxed, s)
+        # out_i = sum_j mds[i,j] * s_j over the second-to-last axis
+        prod = F.mont_mul(mds, s[..., None, :, :])     # (..., t, t, limbs)
+        acc = prod[..., 0, :]
+        for j in range(1, t):
+            acc = F.add(acc, prod[..., j, :])
+        return acc, None
+
+    out, _ = jax.lax.scan(body, state, (arc, full))
+    return out
+
+
+def big_absorb_elements(F, params: PoseidonParams, state: jnp.ndarray,
+                        elems: list, capacity: int = 1) -> jnp.ndarray:
+    """Duplex-absorb a python list of (limbs,) Montgomery-form elements
+    (ints allowed; 10*-padded per call, mirroring HostSponge)."""
+    rate = rate_of(params, capacity)
+    padded = [F.const(e) if isinstance(e, int) else e
+              for e in pad_elements(elems, rate)]
+    for i in range(0, len(padded), rate):
+        block = jnp.stack(padded[i:i + rate])          # (rate, limbs)
+        mixed = F.add(state[..., :rate, :], block)
+        state = jnp.concatenate([mixed, state[..., rate:, :]], axis=-2)
+        state = big_permute(F, params, state)
+    return state
+
+
+def big_squeeze(F, params: PoseidonParams, state: jnp.ndarray,
+                reject_zero: bool = True,
+                pow_n_not_one: int | None = None):
+    """Squeeze one element with deterministic rejection resampling.
+    Returns (standard-form words (limbs,), state)."""
+
+    def bad(v):
+        b = jnp.asarray(False)
+        if reject_zero:
+            b = b | jnp.all(v == 0)
+        if pow_n_not_one is not None:
+            b = b | F.eq(F.pow_static_rolled(v, pow_n_not_one),
+                         F.const(1))
+        return b
+
+    def cond(carry):
+        s, _ = carry
+        return bad(s[..., 0, :])
+
+    def body(carry):
+        s, _ = carry
+        s2 = big_permute(F, params, s)
+        return (s2, s2[..., 0, :])
+
+    state = big_permute(F, params, state)
+    state, v = jax.lax.while_loop(cond, body, (state, state[..., 0, :]))
+    return F.decode(v), state
+
+
+def big_tree_digest(F, params: PoseidonParams, leaves: jnp.ndarray):
+    """Binary Poseidon tree over (m, limbs) standard-form leaves (m a
+    power of two): log2(m) BATCHED permutations. Returns a (limbs,)
+    Montgomery-form digest. Host mirror: host_tree_digest (already
+    arbitrary-precision)."""
+    x = F.encode(jnp.asarray(leaves, U32))
+    t = params.t
+    lim = x.shape[-1]
+    while x.shape[0] > 1:
+        m = x.shape[0] // 2
+        state = jnp.concatenate(
+            [x[0::2, None], x[1::2, None],
+             jnp.zeros((m, t - 2, lim), U32)], axis=-2)
+        x = big_permute(F, params, state)[:, 0, :]
+    return x[0]
+
+
 class HostSponge:
     """Python-int mirror of (absorb_elements, squeeze) — the verifier's
     transcript replay. Must stay in lockstep with the device functions

@@ -73,3 +73,17 @@ class TestBigPoly:
         x = enc([self.x_int])[0]
         got = dec(BP.pow_vector(F, x, 9))
         assert got == [pow(self.x_int, i, R) for i in range(9)]
+
+    def test_batch_inv(self):
+        """Montgomery-trick batched inverse == per-element Fermat, bit
+        for bit, including the inv(0) = 0 convention
+        (src/hf.h:201-203) — the BN254 grand product's hot path."""
+        xs = [int.from_bytes(self.rng.bytes(31), "little") % R
+              for _ in range(37)]
+        xs[3] = 0
+        xs[20] = 0
+        a = enc(xs)
+        got = BP.batch_inv(F, a)
+        assert jnp.array_equal(got, F.inv(a))
+        exp = [0 if v == 0 else pow(v, -1, R) for v in xs]
+        assert dec(got) == exp

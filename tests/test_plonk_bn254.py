@@ -84,6 +84,20 @@ class TestProver:
         assert bool(np.asarray(diags.w_z_rem_zero))
         assert bool(np.asarray(diags.w_zw_rem_zero))
 
+    def test_precompute_path_bit_identical(self, ctx, circuit,
+                                           proof_and_inputs):
+        """make_prover_bn254 (circuit tables computed once by
+        precompute_bn254, threaded as runtime args) produces the
+        bit-identical proof to the inline prove_bn254 path."""
+        import jax.tree_util as jtu
+        sel, copies, aw, bw, cw = circuit[:5]
+        proof_ref, _, challenge, rand9 = proof_and_inputs
+        prover = PB.make_prover_bn254(ctx, sel, copies)
+        proof, diags = prover(aw, bw, cw, challenge, rand9)
+        assert bool(np.asarray(diags.all_ok()))
+        for u, v in zip(jtu.tree_leaves(proof), jtu.tree_leaves(proof_ref)):
+            assert np.array_equal(np.asarray(u), np.asarray(v))
+
     def test_wire_commitment_matches_kzg_oracle(self, proof_and_inputs,
                                                 circuit):
         """a_s must equal [a_x(tau)] * G computed with python ints:

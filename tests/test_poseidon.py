@@ -65,6 +65,62 @@ def test_sponge_matches_host():
     assert pow(int(v3), 1 << 4, F.p) != 1 and int(v3) != 0
 
 
+class TestBigField:
+    """254-bit (16-limb) Poseidon: the BN254 FS transcript's hash
+    (fs_poseidon.BN254PoseidonFsProver). t=3/capacity=1 per the
+    transcript layout; device (big_permute over BigMontField CIOS
+    kernels) must stay in lockstep with the python-int oracle."""
+
+    def _field(self):
+        from plonk_tpu.ops.bigfield import BigMontField
+        from plonk_tpu.utils.params import BN254_FR
+        return BigMontField(BN254_FR, rolled=True), BN254_FR.p
+
+    def test_permutation_matches_oracle(self):
+        F, p = self._field()
+        pp = P.make_params(p, t=3)
+        assert pp.alpha == 5
+        rng = np.random.default_rng(3)
+        ints = [int.from_bytes(rng.bytes(31), "little") % p
+                for _ in range(pp.t)]
+        ref = P.PoseidonHost(pp).permute(ints)
+        got = P.big_permute(F, pp, F.array(ints))
+        assert [int(v) for v in F.decode_host(np.asarray(got))] == ref
+
+    def test_sponge_matches_host(self):
+        F, p = self._field()
+        pp = P.make_params(p, t=3)
+        rng = np.random.default_rng(4)
+        elems = [int.from_bytes(rng.bytes(31), "little") % p
+                 for _ in range(5)]
+        state = F.zeros((pp.t,))
+        state = P.big_absorb_elements(F, pp, state,
+                                      [F.const(e) for e in elems])
+        v1, state = P.big_squeeze(F, pp, state)
+        v2, state = P.big_squeeze(F, pp, state, pow_n_not_one=8)
+        hs = P.HostSponge(pp, capacity=1)
+        hs.absorb_elements(elems)
+        to_int = lambda w: int(F.decode_host(F.encode(
+            jnp.asarray(w))[None])[0])
+        assert to_int(v1) == hs.squeeze()
+        z = hs.squeeze(pow_n_not_one=8)
+        assert to_int(v2) == z
+        assert pow(z, 8, p) != 1 and z != 0
+
+    def test_tree_digest_matches_host(self):
+        F, p = self._field()
+        pp = P.make_params(p, t=3)
+        rng = np.random.default_rng(5)
+        leaves = [int.from_bytes(rng.bytes(31), "little") % p
+                  for _ in range(8)]
+        words = np.stack([np.array(
+            [(v >> (16 * k)) & 0xFFFF for k in range(F.limbs)],
+            dtype=np.uint32) for v in leaves])
+        got = P.big_tree_digest(F, pp, jnp.asarray(words))
+        exp = P.host_tree_digest(pp, leaves)
+        assert int(F.decode_host(np.asarray(got)[None])[0]) == exp
+
+
 def test_absorb_order_sensitivity():
     """Different absorb orders / values must diverge (sanity against
     accidental state aliasing)."""

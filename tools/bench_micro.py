@@ -422,6 +422,72 @@ if which == "wb":
     bench_wb_sweep()
 
 
+def bench_bn254_prover_ablate(log_n=10, reps=6):
+    """BN254 prover stage ablation at 2^log_n gates: times the full
+    compile-once prover (precompute_bn254 tables threaded), the prover
+    with commits stubbed (field side only), and the 9-commit MSM alone —
+    the production-curve sibling of the `stages` lane."""
+    from plonk_tpu.models import plonk_bn254 as PB
+    from plonk_tpu.utils.params import BN254_FR
+    R = BN254_FR.p
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+
+    def words_vec(vals):
+        return np.stack([np.array([(int(v) >> (16 * k)) & 0xFFFF
+                                   for k in range(16)], dtype=np.uint32)
+                         for v in vals])
+
+    t0 = time.perf_counter()
+    ctx = PB.bn254_setup(n, rolled=True)
+    print(f"setup: {time.perf_counter()-t0:.1f}s", flush=True)
+    a = [int.from_bytes(rng.bytes(31), "little") % R for _ in range(n)]
+    b = [int.from_bytes(rng.bytes(31), "little") % R for _ in range(n)]
+    c = [(x * y) % R for x, y in zip(a, b)]
+    sel = np.zeros((5, n, 16), dtype=np.uint32)
+    sel[3] = words_vec([1] * n)
+    sel[2] = words_vec([R - 1] * n)
+    copies = np.stack([
+        np.stack([np.full(n, t), np.arange(1, n + 1)], axis=-1)
+        for t in range(3)]).astype(np.int32)
+    aw, bw, cw = words_vec(a), words_vec(b), words_vec(c)
+    ch = words_vec([111111, 222222, 333333, 444444, 555555])
+    rnd = words_vec(list(range(17, 26)))
+    aj, bj, cj = (jnp.asarray(v) for v in (aw, bw, cw))
+
+    # field side only: commit_many stubbed to identity points
+    def stub_commits(coeffs):
+        B = len(coeffs)
+        z = jnp.zeros((B, 16), jnp.uint32)
+        return PB.BigG1Affine(z, z, jnp.ones((B,), jnp.bool_))
+
+    stub_prims = PB._local_prims(ctx)._replace(commit_many=stub_commits)
+    for name, prims in (("full", None), ("field_only", stub_prims)):
+        t0 = time.perf_counter()
+        prover = PB.make_prover_bn254(ctx, sel, copies, prims=prims)
+        out = prover(aj, bj, cj, ch, rnd)
+        jax.block_until_ready(out)
+        build = time.perf_counter() - t0
+        dt = timeit(lambda: prover(aj, bj, cj, ch, rnd), reps=reps)
+        print(json.dumps({"bn254_prove": name, "log_n": log_n,
+                          "ms": round(dt * 1000, 2),
+                          "compile_s": round(build, 1)}), flush=True)
+
+    # commits alone (GLV batched MSM over the 9 coefficient vectors)
+    sc = jnp.asarray(rng.integers(0, 1 << 16, size=(9, ctx.srs.length, 16),
+                                  dtype=np.uint32))
+    from plonk_tpu.ops import bigpoly as BPol
+    cfn = jax.jit(lambda s: PB._commit_many(
+        ctx, [ctx.Fr.encode(s[i]) for i in range(9)]))
+    dt = timeit(lambda: cfn(sc), reps=reps)
+    print(json.dumps({"bn254_commit9_glv_ms": round(dt * 1000, 2),
+                      "log_n": log_n}), flush=True)
+
+
+if which == "bn254prof":
+    bench_bn254_prover_ablate(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+
+
 def bench_bn254_msm(log_n=14):
     from plonk_tpu.ops import bigcurve as BC
     from plonk_tpu.ops.bigfield import BigMontField
