@@ -21,6 +21,55 @@ import time
 import numpy as np
 
 
+# ---- roofline accounting (VERDICT r3 weak 7) ----
+#
+# Calibrated ceiling: ~240 G single-u32 Montgomery muls/s amortized on
+# this chip (tools/tpu_calibrate.py; each is ~8 16x16-bit hardware
+# multiplies + VPU reduction ops). A 16-limb (254-bit) CIOS multiply is
+# ~2*16^2 = 512 16x16 multiplies, i.e. ~64 u32-mul equivalents. The
+# *_roofline_frac keys report achieved-mont-mul-throughput / ceiling so
+# perf regressions are machine-visible round over round; the counts are
+# dominant-term ESTIMATES (transform butterflies + EC-add muls), not
+# exact op counts.
+_MONT_MUL_PER_S = 240e9
+_BIG_MUL_WEIGHT = 64.0            # 16-limb CIOS in u32-mul equivalents
+_JADD_MULS = 16                   # Jacobian add ~16 field muls
+
+
+def _ntt_muls(n: int) -> float:
+    """Butterfly muls of one radix-2 size-n transform."""
+    import math
+    return n / 2 * math.log2(n)
+
+
+def _roofline_frac(u32_muls_per_s: float) -> float:
+    return round(u32_muls_per_s / _MONT_MUL_PER_S, 4)
+
+
+def _scaled_prover_muls(n: int, wb: int = 4) -> float:
+    """Dominant field-mul count of one scaled proof at n gates:
+    transform stack (4 size-n INTTs + 7 coset-domain transforms at 4n,
+    plus the acc INTT), quotient/grand-product elementwise work, and the
+    9 commitments' Jacobian tree (~W*L adds each at ~16 muls)."""
+    m = 4 * n
+    transforms = 5 * _ntt_muls(n) + 7 * _ntt_muls(m)
+    elementwise = 40 * m            # quotient products + openings (est)
+    W = -(-31 // wb)                # scalar windows (31-bit field)
+    tree = 9 * W * n * _JADD_MULS
+    return transforms + elementwise + tree
+
+
+def _bn254_prover_muls(n: int, wb: int = 4) -> float:
+    """Dominant u32-mul-equivalent count of one BN254 proof: the 16-limb
+    transform stack + the 9 commitments' Jacobian work (fixed-base tree
+    at ~254/wb windows, or a comparable Pippenger sweep)."""
+    m = 4 * n
+    transforms = (5 * _ntt_muls(n) + 7 * _ntt_muls(m)) * _BIG_MUL_WEIGHT
+    W = -(-254 // wb)
+    tree = 9 * W * n * _JADD_MULS * _BIG_MUL_WEIGHT
+    return transforms + tree
+
+
 def _timeit(fn, *args, reps=3):
     import jax
     out = fn(*args)
@@ -235,6 +284,48 @@ def check_pallas_commit_parity(log_n: int = 10):
           and bool(jnp.array_equal(got.y, ref.y))
           and bool(jnp.array_equal(got.inf, ref.inf)))
     assert ok, "pallas commit kernel != XLA fixed base on device"
+    return True
+
+
+def check_bn254_pallas_commit_parity(log_n: int = 8):
+    """On-device parity of the fused 16-limb Pallas commit kernel
+    against the XLA fixed-base select sweep AND the GLV Pippenger path
+    (interpret-mode tests imply nothing about the Mosaic compile)."""
+    import jax
+    import jax.numpy as jnp
+    from plonk_tpu.models import plonk_bn254 as PB
+    from plonk_tpu.ops import bigcurve as BC
+    from plonk_tpu.ops.pallas_bigmsm import big_commit_many_pallas
+
+    n = 1 << log_n
+    ctx = PB.bn254_setup(n, rolled=True)
+    Fr, Fq = ctx.Fr, ctx.Fq
+    L = ctx.srs.length
+    rng = np.random.default_rng(0)
+    sc = jnp.asarray(rng.integers(0, 1 << 16, size=(9, L, 16),
+                                  dtype=np.uint32))
+    sc = sc.at[..., 15].set(sc[..., 15] & 0x0FFF)   # < r
+    tbl = PB.bn254_fixed_base_table(ctx)
+
+    def affine_std(out):
+        x, y, inf = BC.big_to_affine(Fq, out)
+        return (np.asarray(Fq.decode(x)), np.asarray(Fq.decode(y)),
+                np.asarray(inf))
+
+    got = affine_std(jax.jit(lambda t, s: big_commit_many_pallas(
+        Fq, t, s))(tbl, sc))
+    ref = affine_std(jax.jit(lambda t, s: BC.big_msm_fixed_base_many(
+        Fq, t, s))(tbl, sc))
+    assert (np.array_equal(got[0], ref[0])
+            and np.array_equal(got[1], ref[1])
+            and np.array_equal(got[2], ref[2])), \
+        "bn254 pallas commit kernel != XLA fixed base on device"
+    glv = jax.jit(lambda s: PB._commit_many(
+        ctx, [Fr.encode(s[i]) for i in range(9)]))(sc)
+    assert (np.array_equal(np.asarray(glv.x), ref[0])
+            and np.array_equal(np.asarray(glv.y), ref[1])
+            and np.array_equal(np.asarray(glv.inf), ref[2])), \
+        "bn254 fixed base != GLV Pippenger on device"
     return True
 
 
@@ -608,19 +699,44 @@ def main():
         log_n = int(os.environ.get("PLONK_TPU_BENCH_SCALED_LOGN", "16"))
         v = round(bench_scaled_prover(log_n), 3)
         result[f"plonk_scaled_2e{log_n}_proofs_per_s"] = v
+        result[f"plonk_scaled_2e{log_n}_roofline_frac"] = _roofline_frac(
+            v * _scaled_prover_muls(1 << log_n))
         if os.environ.get("PLONK_TPU_NTT") == "blocked":
             result["scaled_prover_mode"] = "fallback-blocked-xla"
         return None
     B.lane("scaled", scaled, est_s=300)
 
+    def scaled_2e18():
+        # BASELINE.md names 2^16-2^20; the wb=4 Pallas-layout table at
+        # 2^18 is ~300 MB (128 entries/point) — smaller than the 905 MB
+        # 2^16/wb=7 table of round 2, so no special streaming needed
+        v = round(bench_scaled_prover(18), 3)
+        result["plonk_scaled_2e18_proofs_per_s"] = v
+        result["plonk_scaled_2e18_roofline_frac"] = _roofline_frac(
+            v * _scaled_prover_muls(1 << 18))
+        return None
+    if not cpu_fb:
+        B.lane("scaled_2e18", scaled_2e18, est_s=420)
+
     # XLA:CPU compile cost is superlinear in butterfly-stage depth
     # (CLAUDE.md) — big transforms are TPU-only lane sizes
     ntt_logn = 20 if not cpu_fb else 12
     msm_logn = 16 if not cpu_fb else 12
-    B.lane(f"ntt_babybear_2e{ntt_logn}_elems_per_s",
-           lambda: bench_ntt(ntt_logn), est_s=240)
+
+    def ntt_lane():
+        v = bench_ntt(ntt_logn)
+        result[f"ntt_babybear_2e{ntt_logn}_roofline_frac"] = \
+            _roofline_frac(v * ntt_logn / 2)
+        return round(v, 1)
+    B.lane(f"ntt_babybear_2e{ntt_logn}_elems_per_s", ntt_lane, est_s=240)
+
+    def ntt_batched_lane():
+        v = bench_ntt_batched(ntt_logn)
+        result[f"ntt_babybear_2e{ntt_logn}_batch8_roofline_frac"] = \
+            _roofline_frac(v * ntt_logn / 2)
+        return round(v, 1)
     B.lane(f"ntt_babybear_2e{ntt_logn}_batch8_elems_per_s",
-           lambda: bench_ntt_batched(ntt_logn), est_s=120)
+           ntt_batched_lane, est_s=120)
     B.lane("bn254_msm_2e14_points_per_s",
            lambda: bench_bn254_msm(14 if not cpu_fb else 10), est_s=240)
     sb_logn = 12 if not cpu_fb else 8
@@ -636,14 +752,28 @@ def main():
     # ahead of the remaining micro-lanes: a proofs/s number on the REAL
     # curve outranks another kernel throughput datapoint
     if not cpu_fb:
-        pb_logn = int(os.environ.get("PLONK_TPU_BENCH_BN254_LOGN", "10"))
+        pb_logn = int(os.environ.get("PLONK_TPU_BENCH_BN254_LOGN", "12"))
+
+        def bn254_prover_lane():
+            v = round(bench_bn254_prover(pb_logn), 3)
+            result[f"plonk_bn254_2e{pb_logn}_roofline_frac"] = \
+                _roofline_frac(v * _bn254_prover_muls(1 << pb_logn))
+            return v
         B.lane(f"plonk_bn254_2e{pb_logn}_proofs_per_s",
-               lambda: bench_bn254_prover(pb_logn), est_s=420, round_to=3)
+               bn254_prover_lane, est_s=420, round_to=3)
         B.lane("bn254_verify_many_b8_per_s",
                lambda: bench_bn254_verify_many(), est_s=420, round_to=3)
+        B.lane("bn254_pallas_commit_parity_on_device",
+               lambda: check_bn254_pallas_commit_parity(), est_s=240)
     bn_logn = 16 if not cpu_fb else 12
-    B.lane(f"ntt_bn254_2e{bn_logn}_elems_per_s",
-           lambda: bench_ntt_bn254(bn_logn), est_s=180)
+
+    def ntt_bn254_lane():
+        v = bench_ntt_bn254(bn_logn)
+        result[f"ntt_bn254_2e{bn_logn}_roofline_frac"] = _roofline_frac(
+            v * bn_logn / 2 * _BIG_MUL_WEIGHT)
+        return round(v, 1)
+    B.lane(f"ntt_bn254_2e{bn_logn}_elems_per_s", ntt_bn254_lane,
+           est_s=180)
     B.lane("bn254_msm_glv_2e14_points_per_s",
            lambda: bench_bn254_msm(14 if not cpu_fb else 10, glv=True),
            est_s=240)

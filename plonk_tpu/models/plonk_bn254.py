@@ -539,6 +539,120 @@ def _stage_openings(ctx: BN254Context, st, q3, z_x, alpha, beta, gamma,
                 rem1=jnp.all(rem1 == 0), rem2=jnp.all(rem2 == 0))
 
 
+def use_bn254_fixed_base() -> bool:
+    """Fixed-base window-table commitments for the BN254 prover: default
+    ON for accelerators (the per-proof Pippenger path re-pays an argsort
+    + a sequential 255-step bucket reduction per window, while the SRS is
+    fixed across proofs — the same economics that took the scaled prover
+    156 -> 7.7 ms). PLONK_TPU_BN254_FB=0/1 overrides; CPU keeps Pippenger
+    (the table build would dominate the test-suite compile budget)."""
+    flag = os.environ.get("PLONK_TPU_BN254_FB")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() != "cpu"
+
+
+def use_bn254_pallas_commit() -> bool:
+    """Fused Pallas sweep+tree kernel over the 16-limb field
+    (ops/pallas_bigmsm.py) instead of the XLA select sweep. Default ON on
+    accelerators (device sweep, BENCH_NOTES round 4); PLONK_TPU_BN254_
+    PALLAS_MSM=0/1 overrides. CPU: interpret mode exists but the XLA
+    paths stay the default."""
+    flag = os.environ.get("PLONK_TPU_BN254_PALLAS_MSM")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() != "cpu"
+
+
+def bn254_fb_window_bits() -> int:
+    return int(os.environ.get("PLONK_TPU_BN254_FB_WB", "4"))
+
+
+def bn254_fixed_base_table(ctx: BN254Context):
+    """SRS window-multiple table for fixed-base BN254 commitments, built
+    once per (SRS, window_bits) and cached on the ctx + on disk (the
+    build is ~4M Jacobian adds + a batched affine conversion — minutes
+    through the tunnel; the npz is ~570 MB at 2^12). Returned canonical
+    layout: (n_windows, n_buckets, L, limbs) Montgomery affine words."""
+    from ..ops.bigcurve import BigFixedBaseTable, build_big_table
+    wb = bn254_fb_window_bits()
+    tables = getattr(ctx, "_bn254_fb_tables", None)
+    if tables is None:
+        tables = {}
+        object.__setattr__(ctx, "_bn254_fb_tables", tables)
+    tbl = tables.get(wb)
+    if tbl is not None:
+        return tbl
+    Fq = ctx.Fq
+    g1s = ctx.srs.g1s
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray(g1s.x).tobytes())
+    h.update(str((ctx.srs.length, wb)).encode())
+    root = os.environ.get("PLONK_TPU_CACHE",
+                          os.path.expanduser("~/.cache/plonk_tpu"))
+    path = os.path.join(root, f"bn254_fbtbl_{h.hexdigest()}.npz")
+    if os.path.exists(path):
+        try:
+            z = np.load(path)
+            tbl = BigFixedBaseTable(x=jnp.asarray(z["x"]),
+                                    y=jnp.asarray(z["y"]),
+                                    inf=jnp.asarray(z["inf"]),
+                                    window_bits=wb)
+            tables[wb] = tbl
+            return tbl
+        except Exception:
+            pass
+    with jax.ensure_compile_time_eval():
+        one = jnp.broadcast_to(Fq.const(1), g1s.x.shape)
+        Z = jnp.where(g1s.inf[..., None], jnp.zeros_like(one), one)
+        pts = BigG1J(jnp.where(g1s.inf[..., None], one, g1s.x),
+                     jnp.where(g1s.inf[..., None], one, g1s.y), Z)
+        tbl = jax.jit(lambda p: build_big_table(
+            Fq, p, window_bits=wb, scalar_bits=FR_BITS))(pts)
+        tbl = BigFixedBaseTable(
+            x=jax.block_until_ready(tbl.x), y=jax.block_until_ready(tbl.y),
+            inf=jax.block_until_ready(tbl.inf), window_bits=wb)
+    try:
+        os.makedirs(root, exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp[:-4], x=np.asarray(tbl.x), y=np.asarray(tbl.y),
+                 inf=np.asarray(tbl.inf))
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    tables[wb] = tbl
+    return tbl
+
+
+def bn254_table_commit(ctx: BN254Context, table):
+    """commit_many bound to an EXPLICIT table pytree (possibly a tracer):
+    make_prover_bn254 threads the ~570 MB table as a RUNTIME argument —
+    a closure constant would be baked into the compiled payload and the
+    remote-compile tunnel rejects ~GB programs with HTTP 413 (the
+    plonk_scaled.table_commit rule at 254-bit scale)."""
+    from ..ops.bigcurve import big_msm_fixed_base_many
+    Fr, Fq = ctx.Fr, ctx.Fq
+    L = ctx.srs.length
+    pallas = use_bn254_pallas_commit()
+
+    def commit(coeff_list) -> BigG1Affine:
+        padded = jnp.stack([BPol.pad_to(c, L)[..., :L, :]
+                            for c in coeff_list])
+        scalars = Fr.decode(padded)              # (B, L, words) standard
+        if pallas:
+            from ..ops.pallas_bigmsm import big_commit_many_pallas
+            out = big_commit_many_pallas(
+                Fq, table, scalars,
+                interpret=jax.default_backend() == "cpu")
+        else:
+            out = big_msm_fixed_base_many(Fq, table, scalars)
+        x, y, inf = big_to_affine(Fq, out)
+        return BigG1Affine(x=x, y=y, inf=inf)
+
+    return commit
+
+
 def _commit_many(ctx: BN254Context, coeff_list) -> BigG1Affine:
     """One batched MSM for all commitments. Default path: GLV
     endomorphism split (ops/glv.py) — half the Pippenger windows for the
@@ -623,25 +737,34 @@ def make_prover_bn254(ctx: BN254Context, selectors, copies,
     RUNTIME arguments — closure constants would be baked into the
     compiled payload (the scaled prover's make_prover pattern; the
     remote-compile tunnel rejects ~GB programs with HTTP 413)."""
+    from ..ops.bigcurve import BigFixedBaseTable
     base = prims if prims is not None else _local_prims(ctx)
+    fb = prims is None and use_bn254_fixed_base()
+    tbl = bn254_fixed_base_table(ctx) if fb else None
     sel = jnp.asarray(selectors, U32)
     cps = jnp.asarray(copies)
     pre = jax.jit(lambda s, c: precompute_bn254(ctx, s, c, base))(sel, cps)
     pre = jax.tree_util.tree_map(jax.block_until_ready, pre)
     n = ctx.n
 
-    def run(pre_, a_w, b_w, c_w, ch, rnd, pi):
+    def run(tx, ty, tinf, pre_, a_w, b_w, c_w, ch, rnd, pi):
+        pr = base
+        if fb:
+            pr = base._replace(commit_many=bn254_table_commit(
+                ctx, BigFixedBaseTable(tx, ty, tinf, tbl.window_bits)))
         return prove_bn254(ctx, sel, cps, a_w, b_w, c_w, ch, rnd,
-                           public_inputs=pi, prims=base, pre=pre_)
+                           public_inputs=pi, prims=pr, pre=pre_)
 
     jf = jax.jit(run)
+    z0 = jnp.zeros((0,), U32)
+    targs = (tbl.x, tbl.y, tbl.inf) if fb else (z0, z0, z0)
 
     def fn(a_w, b_w, c_w, ch, rnd, public_inputs=None):
         pi = (jnp.zeros((n, FR_WORDS), U32) if public_inputs is None
               else jnp.asarray(public_inputs, U32))
-        return jf(pre, jnp.asarray(a_w, U32), jnp.asarray(b_w, U32),
-                  jnp.asarray(c_w, U32), jnp.asarray(ch, U32),
-                  jnp.asarray(rnd, U32), pi)
+        return jf(*targs, pre, jnp.asarray(a_w, U32),
+                  jnp.asarray(b_w, U32), jnp.asarray(c_w, U32),
+                  jnp.asarray(ch, U32), jnp.asarray(rnd, U32), pi)
 
     return fn
 

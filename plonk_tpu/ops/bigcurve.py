@@ -440,6 +440,85 @@ def big_fixed_base_mul_many(F: BigMontField, table: BigFixedBaseTable,
     return BigG1J(terms.X[0], terms.Y[0], terms.Z[0])
 
 
+def _big_digits_batch(scalar_words: jnp.ndarray, wb: int,
+                      n_windows: int, n_words: int) -> jnp.ndarray:
+    """(..., L, n_words) 16-bit words -> (..., W, L) window digits."""
+    out = []
+    for w in range(n_windows):
+        lo_bit = w * wb
+        word, off = divmod(lo_bit, 16)
+        d = scalar_words[..., word] >> off
+        if off + wb > 16 and word + 1 < n_words:
+            d = d | (scalar_words[..., word + 1] << (16 - off))
+        out.append(d & jnp.uint32((1 << wb) - 1))
+    return jnp.stack(out, axis=-2)
+
+
+def big_msm_fixed_base_many(F: BigMontField, table: BigFixedBaseTable,
+                            scalar_words: jnp.ndarray,
+                            unroll: int = 4) -> BigG1J:
+    """Batched fixed-base MSMs sharing ONE streaming pass over the table:
+    scalar_words (B, L, n_words) -> a (B,) Jacobian batch. The production
+    commit path — the 9 per-proof BN254 commitments ride one table
+    stream + one batched Jacobian tree (the 254-bit lift of
+    ops/fixed_base.select_terms_many + msm_fixed_base_many; reference
+    loop: src/srs.h:53-68). No gather, no sort: n_buckets full-width
+    selects then log2(W*L) halving adds, every step a full VPU op."""
+    wb = table.window_bits
+    n_windows, n_buckets, L, limbs = table.x.shape
+    B = scalar_words.shape[0]
+    digits = _big_digits_batch(scalar_words, wb, n_windows,
+                               scalar_words.shape[-1])    # (B, W, L)
+    while n_buckets % unroll:
+        unroll //= 2
+    d_ids = jnp.arange(n_buckets, dtype=U32).reshape(-1, unroll)
+    chunk = lambda a, tail: a.swapaxes(0, 1).reshape(
+        (n_buckets // unroll, unroll, n_windows) + tail)
+
+    def step(acc, inputs):
+        ds, tx, ty, tinf = inputs            # tx: (unroll, W, L, limbs)
+        ax, ay, ainf = acc
+        for u in range(unroll):
+            m = digits == ds[u]              # (B, W, L)
+            ax = jnp.where(m[..., None], tx[u][None], ax)
+            ay = jnp.where(m[..., None], ty[u][None], ay)
+            ainf = jnp.where(m, tinf[u][None], ainf)
+        return (ax, ay, ainf), None
+
+    init = (jnp.zeros((B, n_windows, L, limbs), U32),
+            jnp.zeros((B, n_windows, L, limbs), U32),
+            jnp.ones((B, n_windows, L), jnp.bool_))
+    (gx, gy, ginf), _ = jax.lax.scan(
+        step, init, (d_ids, chunk(table.x, (L, limbs)),
+                     chunk(table.y, (L, limbs)),
+                     chunk(table.inf, (L,))))
+    flat = (B, n_windows * L)
+    one = jnp.broadcast_to(F.const(1), flat + (limbs,))
+    ginf = ginf.reshape(flat)
+    Z = jnp.where(ginf[..., None], jnp.zeros_like(one), one)
+    terms = BigG1J(jnp.where(ginf[..., None], one,
+                             gx.reshape(flat + (limbs,))),
+                   jnp.where(ginf[..., None], one,
+                             gy.reshape(flat + (limbs,))), Z)
+    # batched tree: halve the term axis with the B axis along for the
+    # ride (vmapping _big_tree_reduce would re-trace the adds per lane)
+    m = terms.X.shape[1]
+    mm = 1 << (m - 1).bit_length() if m > 1 else 1
+    if mm != m:
+        pad = BigG1J.identity(F, (B, mm - m))
+        terms = BigG1J(jnp.concatenate([terms.X, pad.X], axis=1),
+                       jnp.concatenate([terms.Y, pad.Y], axis=1),
+                       jnp.concatenate([terms.Z, pad.Z], axis=1))
+        m = mm
+    while m > 1:
+        h = m // 2
+        terms = big_jac_add(
+            F, BigG1J(terms.X[:, :h], terms.Y[:, :h], terms.Z[:, :h]),
+            BigG1J(terms.X[:, h:], terms.Y[:, h:], terms.Z[:, h:]))
+        m = h
+    return BigG1J(terms.X[:, 0], terms.Y[:, 0], terms.Z[:, 0])
+
+
 def big_msm_fixed_base(F: BigMontField, table: BigFixedBaseTable,
                        scalar_words: jnp.ndarray) -> BigG1J:
     """sum_i s_i * P_i; scalar_words (L, n_words) of 16-bit words (LSB

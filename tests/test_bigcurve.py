@@ -156,3 +156,37 @@ def test_big_pippenger_msm():
     for p, s in zip(pts_aff, scalars):
         expect = _add(expect, _mul(p, s))
     assert _affine_of(got) == expect
+
+
+def test_fixed_base_msm_many():
+    """Batched fixed-base MSMs (ONE table stream for all B commitments —
+    the BN254 prover's commit path, plonk_bn254.bn254_table_commit):
+    every lane equals the python-int oracle; B includes a zero-scalar
+    lane (all-identity) and a single-point hit."""
+    rng = np.random.default_rng(5)
+    L, B = 5, 3
+    base_scalars = [int(rng.integers(1, 1 << 60)) for _ in range(L)]
+    pts_aff = [_mul(G, s) for s in base_scalars]
+    xs = F.array([p[0] for p in pts_aff])
+    ys = F.array([p[1] for p in pts_aff])
+    ones = jnp.broadcast_to(F.const(1), (L, F.limbs))
+    pts = BC.BigG1J(xs, ys, ones)
+    sbits = 48
+    sc = [[int.from_bytes(rng.bytes(6), "little") for _ in range(L)]
+          for _ in range(B)]
+    sc[1] = [0] * L                      # all-identity lane
+    sc[2] = [0] * (L - 1) + [sc[2][-1]]  # single live point
+    tbl = BC.build_big_table(F, pts, 5, sbits)
+    words = np.zeros((B, L, 3), dtype=np.uint32)
+    for b in range(B):
+        for i, s in enumerate(sc[b]):
+            for w in range(3):
+                words[b, i, w] = (s >> (16 * w)) & 0xFFFF
+    got = _jax.jit(lambda t, w: BC.big_msm_fixed_base_many(F, t, w))(
+        tbl, jnp.asarray(words))
+    for b in range(B):
+        expect = None
+        for p, s in zip(pts_aff, sc[b]):
+            expect = _add(expect, _mul(p, s))
+        lane = BC.BigG1J(got.X[b], got.Y[b], got.Z[b])
+        assert _affine_of(lane) == expect, b

@@ -200,3 +200,63 @@ class TestDistProver:
             assert np.array_equal(np.asarray(q1.x), np.asarray(q2.x)), f
             assert np.array_equal(np.asarray(q1.y), np.asarray(q2.y)), f
             assert bool(np.asarray(q1.inf)) == bool(np.asarray(q2.inf)), f
+
+
+class TestBN254PoseidonFs:
+    """The single-dispatch 254-bit Poseidon FS prover
+    (fs_poseidon.BN254PoseidonFsProver) — round trip through the pairing
+    verifier, host-transcript lockstep, tamper rejection, and prove_many
+    lane consistency (VERDICT r3 missing 4: this prover was previously
+    exercised only by the manual tools/verify_r3e.py script)."""
+
+    @pytest.fixture(scope="class")
+    def fs_and_proof(self, ctx, circuit):
+        from plonk_tpu.models import fs_poseidon as FSP
+        sel, copies, aw, bw, cw = circuit[:5]
+        rand9 = words_vec(list(range(41, 50)))
+        fs = FSP.BN254PoseidonFsProver(ctx, sel, copies)
+        out, diags = fs.prove(aw, bw, cw, rand9)
+        return fs, out, diags, rand9
+
+    def test_roundtrip(self, ctx, fs_and_proof):
+        from plonk_tpu.models import fs_poseidon as FSP
+        fs, out, diags, _ = fs_and_proof
+        assert bool(np.asarray(diags.all_ok()))
+        assert FSP.verify_bn254_fs_poseidon(ctx, fs.vk, out)
+
+    def test_host_transcript_lockstep(self, ctx, fs_and_proof):
+        """The device sponge and the python-int host replay must derive
+        the SAME five challenges from the same proof points."""
+        from plonk_tpu.models import fs_poseidon as FSP
+        fs, out, _, _ = fs_and_proof
+        ch_host = FSP.derive_bn254_challenges_host(
+            ctx, list(fs.vk), out.proof, out.nonce)
+        assert np.array_equal(np.asarray(ch_host),
+                              np.asarray(out.challenge))
+
+    def test_tamper_rejects(self, ctx, fs_and_proof):
+        from plonk_tpu.models import fs_poseidon as FSP
+        fs, out, _, _ = fs_and_proof
+        bad_nonce = FSP.PoseidonFsProof(out.proof, out.nonce + 1,
+                                        out.challenge)
+        assert not FSP.verify_bn254_fs_poseidon(ctx, fs.vk, bad_nonce)
+        tam = out.proof._replace(a_z=np.asarray(
+            words((from_words(np.asarray(out.proof.a_z)) + 1) % R)))
+        bad_eval = FSP.PoseidonFsProof(tam, out.nonce, out.challenge)
+        assert not FSP.verify_bn254_fs_poseidon(ctx, fs.vk, bad_eval)
+
+    def test_prove_many_matches_single(self, ctx, circuit, fs_and_proof):
+        """prove_many lane 0 with the same witness/rand must reproduce
+        the single-proof path bit for bit (vmapped graph == scalar)."""
+        import jax.tree_util as jtu
+        fs, out, _, rand9 = fs_and_proof
+        sel, copies, aw, bw, cw = circuit[:5]
+        outs = fs.prove_many(aw[None], bw[None], cw[None], rand9[None])
+        assert len(outs) == 1
+        out2, diags2 = outs[0]
+        assert bool(np.asarray(diags2.all_ok()))
+        assert out2.nonce == out.nonce
+        assert np.array_equal(out2.challenge, out.challenge)
+        for u, v in zip(jtu.tree_leaves(out2.proof),
+                        jtu.tree_leaves(out.proof)):
+            assert np.array_equal(np.asarray(u), np.asarray(v))

@@ -349,3 +349,39 @@ def test_checked_prover_lane():
     with pytest.raises(Exception, match="witness does not satisfy"):
         PS.prove_scaled_checked(ctx, selectors, copies, a_bad, b, c, CH,
                                 RND)
+
+
+def test_fb_table_cache_keyed_by_layout(monkeypatch, tmp_path):
+    """Flipping PLONK_TPU_PALLAS_MSM on a LIVE ctx must serve each commit
+    path a table in ITS layout (VERDICT r3 weak 5: a single unkeyed cache
+    slot aliased the two layouts). Both paths must agree with each other
+    on the commitment values."""
+    from plonk_tpu.ops import fixed_base as FB
+    from plonk_tpu.ops.pallas_msm import msm_fixed_base_many_pallas
+    monkeypatch.setenv("PLONK_TPU_CACHE", str(tmp_path))  # no disk reuse
+    n = 16
+    ctx = PS.scaled_new(n, secret=556677)
+    L = ctx.srs.length
+    rng = np.random.default_rng(3)
+    sc = jnp.asarray(rng.integers(0, R, size=(4, L), dtype=np.uint32))
+
+    monkeypatch.setenv("PLONK_TPU_PALLAS_MSM", "0")
+    tbl_sel = PS.fixed_base_table(ctx)
+    out_sel = FB.msm_fixed_base_many(ctx.Fq, tbl_sel, sc, mode="select")
+
+    monkeypatch.setenv("PLONK_TPU_PALLAS_MSM", "1")
+    tbl_pal = PS.fixed_base_table(ctx)      # same live ctx, flipped env
+    # the Pallas layout pads the window axis to a power of two
+    assert tbl_pal.x.shape[0] & (tbl_pal.x.shape[0] - 1) == 0
+    assert tbl_pal.x.shape != tbl_sel.x.shape, \
+        "cache served the select-layout table to the Pallas path"
+    out_pal = msm_fixed_base_many_pallas(ctx.Fq, tbl_pal, sc,
+                                         interpret=True)
+    assert np.array_equal(np.asarray(out_pal.x), np.asarray(out_sel.x))
+    assert np.array_equal(np.asarray(out_pal.y), np.asarray(out_sel.y))
+    assert np.array_equal(np.asarray(out_pal.inf), np.asarray(out_sel.inf))
+
+    # flipping BACK must return the original-layout table, not rebuild
+    monkeypatch.setenv("PLONK_TPU_PALLAS_MSM", "0")
+    tbl_sel2 = PS.fixed_base_table(ctx)
+    assert tbl_sel2.x.shape == tbl_sel.x.shape

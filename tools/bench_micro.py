@@ -404,7 +404,7 @@ def bench_wb_sweep(log_n=16):
                                   dtype=np.uint32))
     for wb in (5, 6, 7, 9):
         _os.environ["PLONK_TPU_FB_WB"] = str(wb)
-        for attr in ("_fb_table",):
+        for attr in ("_fb_tables",):
             if hasattr(ctx, attr):
                 object.__delattr__(ctx, attr)
         t0 = time.perf_counter()
@@ -510,3 +510,102 @@ def bench_bn254_msm(log_n=14):
 
 if which == "bn254":
     bench_bn254_msm()
+
+
+def bench_bn254_commit_paths(log_n=12, reps=6):
+    """BN254 9-commitment sweep on device at 2^log_n gates: GLV
+    Pippenger (round-3 default) vs XLA fixed-base select sweep vs the
+    fused Pallas kernel (tile/wg sweep), ALL parity-checked against each
+    other on device. The fixed-base table build/load time is reported
+    separately (one-time per SRS, disk-cached)."""
+    import os
+    from plonk_tpu.models import plonk_bn254 as PB
+    from plonk_tpu.ops import bigcurve as BC
+    from plonk_tpu.ops.pallas_bigmsm import big_commit_many_pallas
+    from plonk_tpu.utils.params import BN254_FR
+    R = BN254_FR.p
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    ctx = PB.bn254_setup(n, rolled=True)
+    print(f"setup: {time.perf_counter()-t0:.1f}s", flush=True)
+    Fr, Fq = ctx.Fr, ctx.Fq
+    L = ctx.srs.length
+    sc = jnp.asarray(rng.integers(0, 1 << 16, size=(9, L, 16),
+                                  dtype=np.uint32))
+    # clamp top words so scalars < r (top word of r is 0x3064)
+    sc = sc.at[..., 15].set(sc[..., 15] & 0x0FFF)
+
+    def affine_std(out):
+        x, y, inf = BC.big_to_affine(Fq, out)
+        return (np.asarray(Fq.decode(x)), np.asarray(Fq.decode(y)),
+                np.asarray(inf))
+
+    results = {}
+
+    # GLV Pippenger (the round-3 path)
+    cfn = jax.jit(lambda s: PB._commit_many(
+        ctx, [Fr.encode(s[i]) for i in range(9)]))
+    try:
+        dt = timeit(lambda: cfn(sc), reps=reps)
+        out = cfn(sc)
+        results["glv"] = (np.asarray(out.x), np.asarray(out.y),
+                          np.asarray(out.inf))
+        print(json.dumps({"bn254_commit9": "glv_pippenger",
+                          "ms": round(dt * 1000, 2)}), flush=True)
+    except Exception as e:
+        print(f"glv failed: {str(e)[:200]}", flush=True)
+
+    # fixed-base table (build or disk load)
+    t0 = time.perf_counter()
+    tbl = PB.bn254_fixed_base_table(ctx)
+    print(f"fb table wb={tbl.window_bits}: "
+          f"{time.perf_counter()-t0:.1f}s "
+          f"({tbl.x.nbytes*2/1e6:.0f} MB)", flush=True)
+
+    fbfn = jax.jit(lambda t, s: BC.big_msm_fixed_base_many(Fq, t, s))
+    try:
+        dt = timeit(lambda: fbfn(tbl, sc), reps=reps)
+        out = fbfn(tbl, sc)
+        results["fb_select"] = affine_std(out)
+        print(json.dumps({"bn254_commit9": "fb_select",
+                          "wb": tbl.window_bits,
+                          "ms": round(dt * 1000, 2)}), flush=True)
+    except Exception as e:
+        print(f"fb_select failed: {str(e)[:200]}", flush=True)
+
+    for tile in (128, 256, 512):
+        for wg in (2, 4, 8):
+            pfn = jax.jit(lambda t, s, ti=tile, w=wg:
+                          big_commit_many_pallas(Fq, t, s, tile=ti, wg=w))
+            try:
+                dt = timeit(lambda: pfn(tbl, sc), reps=reps)
+                out = pfn(tbl, sc)
+                results[f"pallas_t{tile}_wg{wg}"] = affine_std(out)
+                print(json.dumps({"bn254_commit9": "pallas",
+                                  "tile": tile, "wg": wg,
+                                  "ms": round(dt * 1000, 2)}), flush=True)
+            except Exception as e:
+                print(f"pallas t{tile} wg{wg} failed: {str(e)[:200]}",
+                      flush=True)
+
+    # parity across everything that ran
+    if "glv" in results:
+        gx, gy, ginf = results["glv"]
+    keys = [k for k in results if k != "glv"]
+    base = results.get("fb_select") or (results[keys[0]] if keys else None)
+    for k in keys:
+        x, y, inf = results[k]
+        ok = (np.array_equal(x, base[0]) and np.array_equal(y, base[1])
+              and np.array_equal(inf, base[2]))
+        print(f"parity {k} vs fb_select: {ok}", flush=True)
+        assert ok, k
+    if "glv" in results and base is not None:
+        ok = (np.array_equal(gx, base[0]) and np.array_equal(gy, base[1])
+              and np.array_equal(ginf, base[2]))
+        print(f"parity glv vs fb_select: {ok}", flush=True)
+        assert ok
+
+
+if which == "bigmsm":
+    bench_bn254_commit_paths(int(sys.argv[2]) if len(sys.argv) > 2 else 12)
