@@ -197,7 +197,11 @@ def bn254_setup(n: int, secret: int = 20260817, rolled: bool = False,
                 length=int(z["length"]))
             return BN254Context(srs=srs, n=n, rolled=rolled)
     r = BN254_FR.p
-    Fq = BigMontField(BN254_FQ)
+    # rolled field: the unrolled-CIOS scan bodies here are the XLA:CPU
+    # superlinear-depth compile bomb (a >90 min jit_scan compile killed
+    # two round-4 dryruns); rolled is bit-identical and compiles in
+    # minutes on both backends
+    Fq = BigMontField(BN254_FQ, rolled=True)
     tau = secret % r
     length = n + 5
     # scalar table tau^i mod r, host side
@@ -603,16 +607,40 @@ def bn254_fixed_base_table(ctx: BN254Context):
             return tbl
         except Exception:
             pass
-    with jax.ensure_compile_time_eval():
-        one = jnp.broadcast_to(Fq.const(1), g1s.x.shape)
-        Z = jnp.where(g1s.inf[..., None], jnp.zeros_like(one), one)
-        pts = BigG1J(jnp.where(g1s.inf[..., None], one, g1s.x),
-                     jnp.where(g1s.inf[..., None], one, g1s.y), Z)
-        tbl = jax.jit(lambda p: build_big_table(
-            Fq, p, window_bits=wb, scalar_bits=FR_BITS))(pts)
-        tbl = BigFixedBaseTable(
-            x=jax.block_until_ready(tbl.x), y=jax.block_until_ready(tbl.y),
-            inf=jax.block_until_ready(tbl.inf), window_bits=wb)
+    # Build with the UNROLLED CIOS field in point-axis chunks: the
+    # rolled mont_mul_vec materializes a (lanes, 16, 16) partial-product
+    # tensor per multiply — ~4 GB per mul during the batched affine
+    # conversion at 2^12, which faults the TPU (measured round 4). A
+    # fixed chunk shape also means ONE compiled graph reused across
+    # chunks; the result is host-assembled and disk-cached.
+    Fb = BigMontField(BN254_FQ)
+    chunk = min(1024, g1s.x.shape[0])
+    L_all = g1s.x.shape[0]
+    n_chunks = -(-L_all // chunk)
+    build = jax.jit(lambda p: build_big_table(
+        Fb, p, window_bits=wb, scalar_bits=FR_BITS))
+    xs, ys, infs = [], [], []
+    one = jnp.broadcast_to(Fb.const(1), (chunk, Fb.limbs))
+    for ci in range(n_chunks):
+        lo = ci * chunk
+        sl = lambda a: a[lo:lo + chunk]
+        cx, cy, cinf = sl(g1s.x), sl(g1s.y), sl(g1s.inf)
+        if cx.shape[0] < chunk:      # pad the tail chunk (same graph)
+            pad = [(0, chunk - cx.shape[0]), (0, 0)]
+            cx = jnp.pad(cx, pad)
+            cy = jnp.pad(cy, pad)
+            cinf = jnp.pad(cinf, [(0, chunk - cinf.shape[0])],
+                           constant_values=True)
+        Z = jnp.where(cinf[..., None], jnp.zeros_like(one), one)
+        pts = BigG1J(jnp.where(cinf[..., None], one, cx),
+                     jnp.where(cinf[..., None], one, cy), Z)
+        part = build(pts)
+        xs.append(np.asarray(part.x))
+        ys.append(np.asarray(part.y))
+        infs.append(np.asarray(part.inf))
+    cat = lambda ps: np.concatenate(ps, axis=2)[:, :, :L_all]
+    tbl = BigFixedBaseTable(x=jnp.asarray(cat(xs)), y=jnp.asarray(cat(ys)),
+                            inf=jnp.asarray(cat(infs)), window_bits=wb)
     try:
         os.makedirs(root, exist_ok=True)
         tmp = path + ".tmp.npz"
@@ -632,7 +660,10 @@ def bn254_table_commit(ctx: BN254Context, table):
     remote-compile tunnel rejects ~GB programs with HTTP 413 (the
     plonk_scaled.table_commit rule at 254-bit scale)."""
     from ..ops.bigcurve import big_msm_fixed_base_many
-    Fr, Fq = ctx.Fr, ctx.Fq
+    Fr = ctx.Fr
+    # rolled field for the commit trees regardless of ctx mode: 18
+    # unrolled tree levels are a ~400k-HLO compile bomb (round 4)
+    Fq = BigMontField(BN254_FQ, rolled=True)
     L = ctx.srs.length
     pallas = use_bn254_pallas_commit()
 

@@ -292,20 +292,51 @@ class BigMontField:
     def _full_product_cols(self, a: jnp.ndarray, b: jnp.ndarray,
                            out_limbs: int) -> jnp.ndarray:
         """Anti-diagonal column sums of the LxL 16-bit partial-product
-        tensor, as ONE dot_general with a constant 0/1 matrix (XLA CPU
-        compiles a dot ~10x faster than the equivalent pad/concat chain;
-        see module header). Columns < 2L*2^16 <= 2^21 — relaxed, no
-        carries. out_limbs < 2L truncates (mod 2^(16*out_limbs))."""
+        tensor. Columns < 2L*2^16 <= 2^21 — relaxed, no carries.
+        out_limbs < 2L truncates (mod 2^(16*out_limbs)).
+
+        Two lowerings, bit-identical results:
+        - CPU: ONE dot_general with a constant 0/1 matrix (XLA CPU
+          compiles a dot ~10x faster than the equivalent pad/concat
+          chain; see module header).
+        - accelerators: schoolbook shifted accumulation — the dot path
+          materializes a (..., L, L) partial-product tensor per multiply
+          (~8x the operand bytes of HBM traffic; at 2^12-gate commit
+          trees it crashed the remote compile outright, round 4), while
+          L shifted multiply-adds keep every temporary operand-sized."""
         L = self.limbs
-        P = a[..., :, None] * b[..., None, :]        # (..., L, L) < 2^32
-        both = jnp.concatenate(
-            [(P & _MASK).reshape(P.shape[:-2] + (L * L,)),
-             (P >> _W).reshape(P.shape[:-2] + (L * L,))], axis=-1)
-        M = jnp.asarray(_colsum_mat(L, out_limbs))
-        cols = jax.lax.dot_general(both.astype(jnp.int32), M,
-                                   (((both.ndim - 1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-        return cols.astype(U32)
+        if jax.default_backend() == "cpu":
+            P = a[..., :, None] * b[..., None, :]    # (..., L, L) < 2^32
+            both = jnp.concatenate(
+                [(P & _MASK).reshape(P.shape[:-2] + (L * L,)),
+                 (P >> _W).reshape(P.shape[:-2] + (L * L,))], axis=-1)
+            M = jnp.asarray(_colsum_mat(L, out_limbs))
+            cols = jax.lax.dot_general(both.astype(jnp.int32), M,
+                                       (((both.ndim - 1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+            return cols.astype(U32)
+
+        def place(x, d):
+            # x's limbs at offset d of an out_limbs buffer (trailing axis)
+            keep = min(x.shape[-1], out_limbs - d)
+            if keep <= 0:
+                return None
+            if keep < x.shape[-1]:
+                x = x[..., :keep]
+            pad = [(0, 0)] * (x.ndim - 1) + [(d, out_limbs - d - keep)]
+            return jnp.pad(x, pad)
+
+        acc = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape)[:-1]
+                        + (out_limbs,), U32)
+        for i in range(L):
+            prod = a[..., i:i + 1] * b               # (..., L) < 2^32
+            lo = place(prod & _MASK, i)
+            if lo is not None:
+                acc = acc + lo
+            hi = place(prod >> _W, i + 1)
+            if hi is not None:
+                acc = acc + hi
+        return acc
 
     def mont_mul_vec(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product as full-width REDC on the whole limb axis:

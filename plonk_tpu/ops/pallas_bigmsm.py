@@ -51,7 +51,8 @@ from .bigcurve import BigFixedBaseTable, BigG1J, big_jac_add, \
     _big_digits_batch
 
 U32 = jnp.uint32
-_MASK = jnp.uint32(0xFFFF)
+_MASK = 0xFFFF          # python-int literal: array constants cannot be
+                        # captured by a pallas kernel (must be inputs)
 
 
 # ---------------- in-kernel limb field ops (limb axis at -2) -----------
@@ -59,75 +60,118 @@ _MASK = jnp.uint32(0xFFFF)
 
 def _shift_rows(x: jnp.ndarray, d: int, out_rows: int) -> jnp.ndarray:
     """Place x's rows at offset d of an out_rows buffer (static shift
-    along the sublane axis; truncates rows beyond out_rows)."""
+    along the sublane axis). Callers guarantee d + rows <= out_rows —
+    truncation would need unaligned sublane slices, which Mosaic rejects
+    ("Invalid type: slice", round-4 device probe)."""
     rows = x.shape[-2]
-    keep = min(rows, out_rows - d)
-    if keep < rows:
-        x = x[..., :keep, :]
-    pad = [(0, 0)] * (x.ndim - 2) + [(d, out_rows - d - keep), (0, 0)]
+    assert d + rows <= out_rows, "sublane truncation is not lowerable"
+    pad = [(0, 0)] * (x.ndim - 2) + [(d, out_rows - d - rows), (0, 0)]
     return jnp.pad(x, pad)
 
 
-def _make_field(L: int, p: int):
-    """Field-op closures for the kernel body. All arrays are
-    (..., rows, TL) uint32 with 16-bit limb words on the row axis."""
+def _field_consts(L: int, p: int, lanes: int) -> np.ndarray:
+    """(5, L, lanes) uint32 constant pack, shipped as a kernel INPUT
+    (pallas rejects captured array constants), pre-broadcast to the tile
+    lane width: [p, -p^-1 mod R, R-p, e0, mont 1]."""
     R = 1 << (16 * L)
-    to_rows = lambda v, rows: np.array(
-        [(v >> (16 * k)) & 0xFFFF for k in range(rows)],
-        dtype=np.uint32).reshape(rows, 1)
-    p_c = to_rows(p, L)
-    np_c = to_rows((-pow(p, -1, R)) % R, L)
-    rp_c = to_rows(R - p, L)
-    e0 = np.zeros((L, 1), np.uint32)
-    e0[0, 0] = 1
-    one_mont = to_rows(R % p, L)
+    to_rows = lambda v: np.array(
+        [(v >> (16 * k)) & 0xFFFF for k in range(L)],
+        dtype=np.uint32).reshape(L, 1)
+    pack = np.stack([to_rows(p), to_rows((-pow(p, -1, R)) % R),
+                     to_rows(R - p), to_rows(1), to_rows(R % p)])
+    return np.broadcast_to(pack, (5, L, lanes)).copy()
+
+
+def _make_field(L: int, const_ref, row_mode: str = "slice"):
+    """Field-op closures for the kernel body. All arrays are
+    (..., rows, lanes) uint32 with 16-bit limb words on the row axis;
+    const_ref is the (5, L, TL) constant-pack input (constants are
+    lane-sliced to each operand's width — lane slices at power-of-two
+    widths are Mosaic-clean, sublane tricks are not)."""
+    p_c = const_ref[0]
+    np_c = const_ref[1]
+    rp_c = const_ref[2]
+    e0 = const_ref[3]
+    one_mont = const_ref[4]
+    lanes_of = lambda c, x: c[..., :x.shape[-1]]
 
     def shift_up(x, d):
-        return _shift_rows(x, d, x.shape[-2])
+        """out[..., k, :] = x[..., k-d, :] (zero fill below), same
+        height: pad d rows below, then slice the original height back
+        off — offset 0 with the original (8-aligned: 16/32) row count,
+        which Mosaic accepts (unaligned sizes are what it rejects)."""
+        rows = x.shape[-2]
+        pad = [(0, 0)] * (x.ndim - 2) + [(d, 0), (0, 0)]
+        return jnp.pad(x, pad)[..., :rows, :]
 
     def fold1(s):
         # one non-propagating carry fold: relaxed (<2^22) -> <= 0xFFFF+63
         return (s & _MASK) + shift_up(s >> 16, 1)
 
+    def top_row(v):
+        """v's last row as (..., 1, lanes). row_mode="slice": a static
+        1-row sublane slice (unaligned SIZES are what Mosaic rejects —
+        round-4 probe — size-1 slices lower fine); "reduce": masked
+        int32 reduce (no unsigned reductions in Mosaic; values 0/1)."""
+        rows = v.shape[-2]
+        if row_mode == "slice":
+            return v[..., rows - 1:rows, :]
+        idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 2)
+        return jnp.sum(jnp.where(idx == rows - 1, v, 0).astype(jnp.int32),
+                       axis=-2, keepdims=True).astype(U32)
+
     def ks_prop(s):
-        """Exact carry propagation of rows <= 0x1FFFE via Kogge-Stone
+        """Exact carry propagation of rows <= 0x1FFFF via Kogge-Stone
         (log2(rows) sublane-shift steps). Returns (lo16, carry_out_row).
         Top-row carry must be provably zero (value fits the buffer)."""
-        rows = s.shape[-2]
         lo = s & _MASK
         g = s >> 16
         pr = (lo == _MASK).astype(U32)
         d = 1
+        rows = s.shape[-2]
         while d < rows:
             g = g | (pr & shift_up(g, d))
             pr = pr & shift_up(pr, d)
             d *= 2
-        return (lo + shift_up(g, 1)) & _MASK, g[..., rows - 1:rows, :]
+        return (lo + shift_up(g, 1)) & _MASK, top_row(g)
 
     def full_mul(a, b, out_rows):
         """Schoolbook a*b into relaxed columns (< 2L * 2^16 < 2^22):
         for each limb i of a, one vector multiply of b (16x16 -> exact
-        u32) split lo/hi and accumulated at offsets i / i+1."""
+        u32) split lo/hi and accumulated at offsets i / i+1. out_rows
+        must be >= 2L (no truncation; see _shift_rows)."""
         lanes = max(a.shape[-1], b.shape[-1])
         acc = jnp.zeros(jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
                         + (out_rows, lanes), U32)
         for i in range(L):
-            prod = a[..., i:i + 1, :] * b          # (..., L, TL)
+            prod = _row(a, i) * b                  # (..., L, lanes)
             acc = acc + _shift_rows(prod & _MASK, i, out_rows)
             acc = acc + _shift_rows(prod >> 16, i + 1, out_rows)
         return acc
 
+    def _row(a, i):
+        """a's row i as (..., 1, lanes): see top_row for the two modes."""
+        if row_mode == "slice":
+            return a[..., i:i + 1, :]
+        idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 2)
+        return jnp.sum(jnp.where(idx == i, a, 0).astype(jnp.int32),
+                       axis=-2, keepdims=True).astype(U32)
+
     def csub_p(r):
-        d, ge = ks_prop(r + jnp.asarray(rp_c))
+        d, ge = ks_prop(r + lanes_of(rp_c, r))
         return jnp.where(ge == 1, d, r)
 
     def mul(a, b):
         """Montgomery product, full-width REDC (ops/bigfield.py
-        mont_mul_vec restated on sublanes; bit-identical outputs)."""
+        mont_mul_vec restated on sublanes; bit-identical outputs). The
+        REDC multiplier m is computed at full 2L width and truncated at
+        the ALIGNED row-L boundary (mod-R truncation commutes with the
+        carry pass: carries out of row L-1 land in rows >= L and are
+        discarded either way)."""
         T, _ = ks_prop(fold1(full_mul(a, b, 2 * L)))
-        m, _ = ks_prop(fold1(full_mul(T[..., :L, :], jnp.asarray(np_c),
-                                      L)))
-        mp = full_mul(m, jnp.asarray(p_c), 2 * L)
+        m_full, _ = ks_prop(fold1(full_mul(T[..., :L, :],
+                                           lanes_of(np_c, a), 2 * L)))
+        mp = full_mul(m_full[..., :L, :], lanes_of(p_c, a), 2 * L)
         V, _ = ks_prop(fold1(T + mp))
         return csub_p(V[..., L:, :])
 
@@ -136,13 +180,15 @@ def _make_field(L: int, p: int):
         return csub_p(s)
 
     def sub(a, b):
-        raw = a + (_MASK - b) + jnp.asarray(e0)
+        raw = a + (_MASK - b) + lanes_of(e0, a)
         d, ge = ks_prop(raw)
-        d2, _ = ks_prop(d + jnp.asarray(p_c))
+        d2, _ = ks_prop(d + lanes_of(p_c, a))
         return jnp.where(ge == 1, d, d2)
 
     def is_zero(a):
-        return jnp.all(a == 0, axis=-2, keepdims=True)
+        # int32 reduce (no bool/unsigned reductions in Mosaic)
+        nz = jnp.sum((a != 0).astype(jnp.int32), axis=-2, keepdims=True)
+        return nz == 0
 
     return dict(mul=mul, add=add, sub=sub, is_zero=is_zero,
                 one_mont=one_mont)
@@ -218,22 +264,32 @@ def _make_jadd(F):
 # ---------------- the kernel ----------------
 
 
-def _commit_kernel(L: int, p: int, B: int, WG: int, TL: int, nb: int,
-                   dig_ref, tx_ref, ty_ref, ox_ref, oy_ref, oz_ref):
+def _commit_kernel(L: int, B: int, WG: int, TL: int, nb: int,
+                   const_ref, dig_ref, tx_ref, ty_ref,
+                   ox_ref, oy_ref, oz_ref):
     """ONE grid step = (window-group g, point-tile t): bucket sweep over
-    the VMEM-resident (WG, nb, limbs, TL) table block, then an in-VMEM
-    Jacobian tree over the WG window accumulators -> one (B, limbs, 128)
-    partial per step. Per-window accumulators are python-managed 3D
-    (B, limbs, TL) arrays — no 4D broadcasts, everything tiles as
-    (sublane=limbs, lane=points)."""
-    F = _make_field(L, p)
+    the VMEM-resident (WG, nb, limbs, TL) table block, an in-VMEM
+    Jacobian tree over the WG window accumulators, then ACCUMULATION of
+    the (B, limbs, 128) step result into the per-g output block (the
+    block's index_map ignores t, so it stays resident in VMEM across the
+    whole t sweep — the matmul-reduction idiom). Per-window accumulators
+    are python-managed 3D (B, limbs, TL) arrays — no 4D broadcasts,
+    everything tiles as (sublane=limbs, lane=points). The round-4a
+    version emitted one partial per (g, t) instead; at wb=4/wg=2 the XLA
+    epilogue then folded 1056 partial rows of rolled 16-limb Jacobian
+    adds — the dominant cost of the whole pass (measured 2.1 s vs 434 ms
+    at wg=8 where the partial count is 4x lower)."""
+    import os
+    F = _make_field(L, const_ref,
+                    row_mode=os.environ.get("PLONK_TPU_BIGMSM_ROW",
+                                            "slice"))
     jadd = _make_jadd(F)
-    one_c = jnp.asarray(F["one_mont"])          # (L, 1) Montgomery 1
+    one_c = F["one_mont"]                       # (L, TL) Montgomery 1
 
     Xs, Ys, Zs = [], [], []
     for wg in range(WG):
         dwg = dig_ref[wg]                        # (B, TL)
-        one_b = jnp.broadcast_to(one_c, (B, L, TL))
+        one_b = jnp.broadcast_to(one_c[None], (B, L, TL))
         X = one_b
         Y = one_b
         Z = jnp.zeros((B, L, TL), U32)
@@ -265,9 +321,21 @@ def _commit_kernel(L: int, p: int, B: int, WG: int, TL: int, nb: int,
         X, Y, Z = jadd(X[..., :h], Y[..., :h], Z[..., :h],
                        X[..., h:t], Y[..., h:t], Z[..., h:t])
         t = h
-    ox_ref[0, 0] = X
-    oy_ref[0, 0] = Y
-    oz_ref[0, 0] = Z
+
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        ox_ref[0] = X
+        oy_ref[0] = Y
+        oz_ref[0] = Z
+
+    @pl.when(ti != 0)
+    def _accum():
+        ax, ay, az = jadd(ox_ref[0], oy_ref[0], oz_ref[0], X, Y, Z)
+        ox_ref[0] = ax
+        oy_ref[0] = ay
+        oz_ref[0] = az
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -321,14 +389,16 @@ def big_commit_many_pallas(F, table: BigFixedBaseTable,
 
     G = Wp // wg
     T = Lp // TL
-    p = int(F.p)
-    kern = functools.partial(_commit_kernel, limbs, p, B, wg, TL, nb)
-    out_shape = jax.ShapeDtypeStruct((G, T, B, limbs, 128), U32)
+    consts = jnp.asarray(_field_consts(limbs, int(F.p), TL))
+    kern = functools.partial(_commit_kernel, limbs, B, wg, TL, nb)
+    out_shape = jax.ShapeDtypeStruct((G, B, limbs, 128), U32)
     mem = pl.ANY if interpret else pltpu.VMEM
     ox, oy, oz = pl.pallas_call(
         kern,
         grid=(G, T),
         in_specs=[
+            pl.BlockSpec((5, limbs, TL), lambda g, t: (0, 0, 0),
+                         memory_space=mem),
             pl.BlockSpec((wg, B, TL), lambda g, t: (g, 0, t),
                          memory_space=mem),
             pl.BlockSpec((wg, nb, limbs, TL), lambda g, t: (g, 0, 0, t),
@@ -337,24 +407,29 @@ def big_commit_many_pallas(F, table: BigFixedBaseTable,
                          memory_space=mem),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, B, limbs, 128),
-                         lambda g, t: (g, t, 0, 0, 0), memory_space=mem),
-            pl.BlockSpec((1, 1, B, limbs, 128),
-                         lambda g, t: (g, t, 0, 0, 0), memory_space=mem),
-            pl.BlockSpec((1, 1, B, limbs, 128),
-                         lambda g, t: (g, t, 0, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, B, limbs, 128),
+                         lambda g, t: (g, 0, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, B, limbs, 128),
+                         lambda g, t: (g, 0, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, B, limbs, 128),
+                         lambda g, t: (g, 0, 0, 0), memory_space=mem),
         ],
         out_shape=[out_shape, out_shape, out_shape],
         interpret=interpret,
-    )(digits, tx, ty)
+    )(consts, digits, tx, ty)
 
-    # XLA epilogue: limbs back to the trailing axis, tree over the
-    # (G*T) partial rows, then 7 lane halvings
+    # XLA epilogue: limbs back to the trailing axis, tree over the G
+    # per-window-group rows, then 7 lane halvings. The epilogue MUST use
+    # the rolled (vectorized) field: tree levels of UNROLLED 16-limb
+    # Jacobian adds are a ~300k-HLO compile bomb that OOM-kills the
+    # remote compile helper (round-4 probe); rolled is bit-identical.
+    from .bigfield import BigMontField
+    F = BigMontField(F.params, rolled=True)
+
     def to_trail(a):
-        return jnp.transpose(a.reshape(G * T, B, limbs, 128),
-                             (0, 1, 3, 2))
+        return jnp.transpose(a, (0, 1, 3, 2))
     terms = BigG1J(to_trail(ox), to_trail(oy), to_trail(oz))
-    m = G * T
+    m = G
     mm = 1 << (m - 1).bit_length() if m > 1 else 1
     if mm != m:
         pad_pt = BigG1J.identity(F, (mm - m, B, 128))

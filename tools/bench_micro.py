@@ -10,6 +10,18 @@ from plonk_tpu.ops.field import MontField
 
 print("backend:", jax.default_backend(), flush=True)
 
+# persistent XLA compile cache (works through the remote-compile tunnel;
+# 17 s -> 0.4 s re-compiles — same setup as bench.py)
+try:
+    import os as _os
+    _cache = _os.path.expanduser("~/.cache/plonk_tpu/xla_bench")
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 
 def timeit(fn, *args, reps=5):
     out = fn(*args)
