@@ -322,8 +322,9 @@ def check_bn254_pallas_commit_parity(log_n: int = 8):
         "bn254 pallas commit kernel != XLA fixed base on device"
     glv = jax.jit(lambda s: PB._commit_many(
         ctx, [Fr.encode(s[i]) for i in range(9)]))(sc)
-    assert (np.array_equal(np.asarray(glv.x), ref[0])
-            and np.array_equal(np.asarray(glv.y), ref[1])
+    # _commit_many returns Montgomery-form affine coords — decode first
+    assert (np.array_equal(np.asarray(Fq.decode(glv.x)), ref[0])
+            and np.array_equal(np.asarray(Fq.decode(glv.y)), ref[1])
             and np.array_equal(np.asarray(glv.inf), ref[2])), \
         "bn254 fixed base != GLV Pippenger on device"
     return True

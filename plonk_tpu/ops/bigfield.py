@@ -304,8 +304,12 @@ class BigMontField:
           (~8x the operand bytes of HBM traffic; at 2^12-gate commit
           trees it crashed the remote compile outright, round 4), while
           L shifted multiply-adds keep every temporary operand-sized."""
+        import os
         L = self.limbs
-        if jax.default_backend() == "cpu":
+        mode = os.environ.get("PLONK_TPU_BIGMUL", "auto")
+        use_dot = (jax.default_backend() == "cpu" if mode == "auto"
+                   else mode == "dot")
+        if use_dot:
             P = a[..., :, None] * b[..., None, :]    # (..., L, L) < 2^32
             both = jnp.concatenate(
                 [(P & _MASK).reshape(P.shape[:-2] + (L * L,)),

@@ -561,7 +561,11 @@ def bench_bn254_commit_paths(log_n=12, reps=6):
     try:
         dt = timeit(lambda: cfn(sc), reps=reps)
         out = cfn(sc)
-        results["glv"] = (np.asarray(out.x), np.asarray(out.y),
+        # _commit_many returns MONTGOMERY-form affine coords (the prover
+        # decodes later) — decode before comparing (a round-4 probe
+        # chased a phantom "GLV mismatch" for hours over this)
+        results["glv"] = (np.asarray(Fq.decode(out.x)),
+                          np.asarray(Fq.decode(out.y)),
                           np.asarray(out.inf))
         print(json.dumps({"bn254_commit9": "glv_pippenger",
                           "ms": round(dt * 1000, 2)}), flush=True)
