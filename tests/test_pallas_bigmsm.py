@@ -64,8 +64,11 @@ def test_kernel_matches_select_sweep(wb, sbits, L, B, tile, wg):
 
 def test_kernel_multi_tile_grid():
     """Point axis spanning several tiles (T > 1) and window groups
-    (G > 1): exercises the partial-sum epilogue across both grid axes."""
-    tbl, sc = _setup(L=130, B=2, sbits=20, wb=4, seed=9)
+    (G > 1): exercises the in-kernel tile accumulation across both grid
+    axes. Sized small (8-bit scalars -> W=2) — the interpret machine
+    executes the full kernel body per grid step on CPU and a 10-step
+    grid ran past an hour (round 4)."""
+    tbl, sc = _setup(L=130, B=2, sbits=8, wb=4, seed=9)
     ref = jax.jit(lambda t, s: BC.big_msm_fixed_base_many(F, t, s))(
         tbl, sc)
     got = jax.jit(lambda t, s: big_commit_many_pallas(
