@@ -560,9 +560,10 @@ def bench_scaled_batched(log_n: int = 12, batch: int = 16):
         return jax.vmap(single)(aw, bw, cw, ch, rnd)
 
     jf = jax.jit(run)
-    fn = lambda aw, bw, cw, ch, rnd: jf(tbl.x, tbl.y, tbl.inf, aw, bw, cw,
-                                        ch, rnd)
-    secs, (proofs, diags) = _timeit(fn, a, b, c, chs, rnds, reps=3)
+    fn = lambda rnd: jf(tbl.x, tbl.y, tbl.inf, a, b, c, chs, rnd)
+    # distinct blinding per rep: duplicate dispatches collapse (_timeit_varied)
+    variants = [rnds + jnp.uint32(100 * i) for i in range(4)]
+    secs, (proofs, diags) = _timeit_varied(fn, variants + variants[:1])
     assert bool(jnp.all(diags.satisfied)), "batched scaled bench invalid"
     return batch / secs
 
@@ -597,8 +598,12 @@ def bench_fs_poseidon(log_n: int = 14, batch: int = 8):
     # full soundness spot-check on one lane: host transcript replay +
     # the two pairing checks
     assert FSP.verify_scaled_fs_poseidon(ctx, prover.vk, outs[0][0])
-    secs, _ = _timeit(lambda a_, b_, c_, r_: prover.prove_many(
-        a_, b_, c_, r_), a, b, c, rnds, reps=3)
+    # distinct blinding per rep (duplicate dispatches collapse); the
+    # host-side assembly in prove_many is part of the measured path
+    variants = [(rnds + np.uint32(100 * i)) % SCALED_FR.p
+                for i in range(4)]
+    secs, _ = _timeit_varied(lambda r_: prover.prove_many(a, b, c, r_),
+                             variants + variants[:1])
     return batch / secs
 
 
