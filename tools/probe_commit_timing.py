@@ -42,7 +42,9 @@ for r in range(REPS + 1):
     s[..., 15] &= 0x0FFF
     scs.append(jnp.asarray(s))
 
-for tile, wg in ((128, 2), (128, 4), (128, 8)):
+import os
+configs = os.environ.get("PROBE_CFGS", "128:2,128:4,128:8")
+for tile, wg in [tuple(map(int, c.split(':'))) for c in configs.split(',')]:
     fn = jax.jit(functools.partial(big_commit_many_pallas, Fq,
                                    tile=tile, wg=wg))
     try:
@@ -66,8 +68,11 @@ fn = jax.jit(functools.partial(big_commit_many_pallas, Fq, tile=128,
                                wg=4))
 out = fn(tbl, scs[REPS])
 x, y, inf = BC.big_to_affine(Fq, out)
-ok = (np.array_equal(np.asarray(Fq.decode(x)), np.asarray(glv.x))
-      and np.array_equal(np.asarray(Fq.decode(y)), np.asarray(glv.y))
+# _commit_many returns MONTGOMERY-form affine coords — decode BOTH sides
+ok = (np.array_equal(np.asarray(Fq.decode(x)),
+                     np.asarray(Fq.decode(glv.x)))
+      and np.array_equal(np.asarray(Fq.decode(y)),
+                         np.asarray(Fq.decode(glv.y)))
       and np.array_equal(np.asarray(inf), np.asarray(glv.inf)))
 print(f"parity pallas(wg4) vs GLV at 2^{log_n}: {ok}", flush=True)
 print("TIMING_PROBE_DONE", flush=True)
