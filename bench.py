@@ -360,7 +360,8 @@ def bench_scaled_prover(log_n: int = 16):
     """Full PLONK prove at 2^log_n gates over the scaled pairing curve
     (one-pass Pallas coset NTTs + fused Pallas fixed-base commitments;
     falls back to the round-2 blocked/XLA paths if either kernel fails
-    to compile on the device). Returns proofs/s."""
+    to compile on the device). Returns (proofs/s best-of-3, spread)
+    where spread = (worst - best) / best over the three passes."""
     import jax
     import jax.numpy as jnp
     from plonk_tpu.models import plonk_scaled as PS
@@ -382,14 +383,23 @@ def bench_scaled_prover(log_n: int = 16):
         # NOT compute; sync-per-call measures the tunnel, not the chip)
         aj, bj, cj = (jax.device_put(jnp.asarray(v, jnp.uint32))
                       for v in (a, b, c))
-        fn = lambda ch, rnd: prover(aj, bj, cj, ch, rnd)
+        fn = lambda rnd_: prover(aj, bj, cj, ch, rnd_)
         # 24 async reps: the tunnel's per-sync completion latency is
         # 24-47 ms on some days; at reps=10 it still inflated the 2^16
         # proof ~1 ms (round-4 rep sweep: 12.8/8.4/7.6/5.5 ms at
-        # reps=5/10/20/40)
-        secs, (proof, diags) = _timeit(fn, ch, rnd, reps=24)
+        # reps=5/10/20/40). DISTINCT blinding per rep — duplicate
+        # dispatches collapse in the tunnel (ADVICE r4 medium) — and
+        # best-of-3 passes with the spread reported (VERDICT r5 item 5:
+        # the 2^16 headline swung 97-182 proofs/s run to run).
+        variants = [(rnd + jnp.uint32(97 * i)) % jnp.uint32(SCALED_FR.p)
+                    for i in range(25)]
+        passes = []
+        for _ in range(3):
+            secs, (proof, diags) = _timeit_varied(fn, variants)
+            passes.append(secs)
         assert bool(diags.all_ok()), "scaled bench proof invalid"
-        return 1.0 / secs
+        best, worst = min(passes), max(passes)
+        return 1.0 / best, round((worst - best) / best, 3)
 
     try:
         return run()
@@ -469,8 +479,12 @@ def bench_bn254_prover(log_n: int = 10):
     prover = PB.make_prover_bn254(ctx, sel, copies)
     aj, bj, cj = (jax.device_put(jnp.asarray(v, jnp.uint32))
                   for v in (aw, bw, cw))
-    fn = lambda ch_, rd: prover(aj, bj, cj, ch_, rd)
-    secs, (proof, diags) = _timeit(fn, ch, rnd, reps=6)
+    fn = lambda rd: prover(aj, bj, cj, ch, rd)
+    # distinct blinding per rep — duplicate dispatches collapse in the
+    # tunnel (ADVICE r4 medium); tiny word-0 offsets keep rnd < r
+    variants = [jnp.asarray(words_vec([17 + 31 * i + j for j in range(9)]))
+                for i in range(7)]
+    secs, (proof, diags) = _timeit_varied(fn, variants)
     assert bool(diags.all_ok()), "bn254 bench proof invalid"
     return 1.0 / secs
 
@@ -561,8 +575,11 @@ def bench_scaled_batched(log_n: int = 12, batch: int = 16):
 
     jf = jax.jit(run)
     fn = lambda rnd: jf(tbl.x, tbl.y, tbl.inf, a, b, c, chs, rnd)
-    # distinct blinding per rep: duplicate dispatches collapse (_timeit_varied)
-    variants = [rnds + jnp.uint32(100 * i) for i in range(4)]
+    # distinct blinding per rep: duplicate dispatches collapse
+    # (_timeit_varied); reduce mod p so every rep feeds in-field
+    # blinding whose diags would be valid (ADVICE r4)
+    variants = [(rnds + jnp.uint32(100 * i)) % jnp.uint32(SCALED_FR.p)
+                for i in range(4)]
     secs, (proofs, diags) = _timeit_varied(fn, variants + variants[:1])
     assert bool(jnp.all(diags.satisfied)), "batched scaled bench invalid"
     return batch / secs
@@ -674,17 +691,19 @@ class _Bench:
         return v
 
 
-def _warmth():
+def _warmth(bn254_n: int = 4096):
     """(xla_cache_warm, srs_cache_warm): rough cache-warmth detection so
     lane cost ESTIMATES match reality — round 3's bn254 lanes cost
     1000-1600 s cold vs ~100 s warm, and a lane that starts with an
     optimistic estimate can blow straight through the driver's wall
-    timeout (the BENCH_r02 failure mode)."""
+    timeout (the BENCH_r02 failure mode). The SRS glob follows the
+    configured BN254 lane size (ADVICE r4: a hardcoded n4096 made the
+    estimate wrong under PLONK_TPU_BENCH_BN254_LOGN != 12)."""
     import glob
     xla = os.path.expanduser("~/.cache/plonk_tpu/xla_bench")
     xla_warm = len(glob.glob(os.path.join(xla, "*"))) >= 10
     srs_warm = bool(glob.glob(os.path.expanduser(
-        "~/.cache/plonk_tpu/bn254_srs_n4096_*.npz"))) and bool(
+        f"~/.cache/plonk_tpu/bn254_srs_n{bn254_n}_*.npz"))) and bool(
         glob.glob(os.path.expanduser(
             "~/.cache/plonk_tpu/bn254_fbtbl_*.npz")))
     return xla_warm, srs_warm
@@ -737,7 +756,8 @@ def main():
         result["backend_fallback"] = "cpu (tpu unreachable at bench time)"
         batch = 1024
     cpu_fb = os.environ.get("PLONK_TPU_BENCH_CPU_FALLBACK") == "1"
-    xla_warm, srs_warm = _warmth()
+    pb_logn = int(os.environ.get("PLONK_TPU_BENCH_BN254_LOGN", "12"))
+    xla_warm, srs_warm = _warmth(bn254_n=1 << pb_logn)
     # est(cold, warm): measured round-3/4 cold compile costs with
     # headroom; a skipped lane is recoverable, a lane that outlives the
     # driver timeout loses the whole line
@@ -757,8 +777,10 @@ def main():
 
     def scaled():
         log_n = int(os.environ.get("PLONK_TPU_BENCH_SCALED_LOGN", "16"))
-        v = round(bench_scaled_prover(log_n), 3)
+        v, spread = bench_scaled_prover(log_n)
+        v = round(v, 3)
         result[f"plonk_scaled_2e{log_n}_proofs_per_s"] = v
+        result[f"plonk_scaled_2e{log_n}_spread"] = spread
         result[f"plonk_scaled_2e{log_n}_roofline_frac"] = _roofline_frac(
             v * _scaled_prover_muls(1 << log_n))
         if os.environ.get("PLONK_TPU_NTT") == "blocked":
@@ -772,8 +794,6 @@ def main():
     # processes hashes to different cache entries; mechanism unresolved,
     # round 4) — so the lane must start while >=1500 s of budget remain.
     if not cpu_fb:
-        pb_logn = int(os.environ.get("PLONK_TPU_BENCH_BN254_LOGN", "12"))
-
         def bn254_prover_lane():
             v = round(bench_bn254_prover(pb_logn), 3)
             result[f"plonk_bn254_2e{pb_logn}_roofline_frac"] = \
@@ -786,8 +806,9 @@ def main():
         # BASELINE.md names 2^16-2^20; the wb=4 Pallas-layout table at
         # 2^18 is ~300 MB (128 entries/point) — smaller than the 905 MB
         # 2^16/wb=7 table of round 2, so no special streaming needed
-        v = round(bench_scaled_prover(18), 3)
-        result["plonk_scaled_2e18_proofs_per_s"] = v
+        v, spread = bench_scaled_prover(18)
+        result["plonk_scaled_2e18_proofs_per_s"] = round(v, 3)
+        result["plonk_scaled_2e18_spread"] = spread
         result["plonk_scaled_2e18_roofline_frac"] = _roofline_frac(
             v * _scaled_prover_muls(1 << 18))
         return None

@@ -22,31 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 # minutes to compile on the CPU backend; caching cuts re-runs ~4x
 # (measured: 39 s cold -> 9.6 s warm for the pairing).
 #
-# The dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT artifacts
-# embed the compile machine's ISA features, and loading an entry built
-# on a different machine SEGFAULTS the process mid-suite (observed
-# 2026-08-18 after a container migration: "machine features ... could
-# lead to SIGILL" warnings, then a crash in backend_compile_and_load).
-def _cpu_fingerprint() -> str:
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    flags_ = " ".join(sorted(line.split(":")[1].split()))
-                    return hashlib.sha256(flags_.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+# The dir is keyed by a machine+XLA fingerprint (see
+# plonk_tpu/utils/cachedir.py): stale AOT entries built under a
+# different XLA target config are rejected per-load (round-4 dryrun
+# timeout) or SEGFAULT the suite (2026-08-18 incident), so the dir
+# must rotate whenever the machine OR XLA's chosen target features do.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from plonk_tpu.utils.cachedir import enable_persistent_cache  # noqa: E402
 
-
-_CACHE = os.path.expanduser("~/.cache/plonk_tpu/xla_cpu_tests_"
-                            + _cpu_fingerprint())
-os.makedirs(_CACHE, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+_CACHE = enable_persistent_cache(jax, kind="tests")
 
 # XLA:CPU executable.serialize() segfaults NONDETERMINISTICALLY on the
 # giant pairing executables (jax 0.9.0; observed twice, different graphs,
