@@ -802,6 +802,27 @@ def main():
         B.lane(f"plonk_bn254_2e{pb_logn}_proofs_per_s",
                bn254_prover_lane, est_s=est_srs(3400, 1500), round_to=3)
 
+    def scaled_2e20():
+        # BASELINE.md upper end (VERDICT r4 item 6). The wb=4 table is
+        # ~1.2 GB at 2^20; wb=3 (88 entries/point, ~700 MB, ~2.5x
+        # cheaper build) ducks that — set via env for this lane only
+        # (fixed_base_table reads it per call; ctx caches key on wb).
+        prev = os.environ.get("PLONK_TPU_FB_WB")
+        os.environ["PLONK_TPU_FB_WB"] = os.environ.get(
+            "PLONK_TPU_FB_WB_2E20", "3")
+        try:
+            v, spread = bench_scaled_prover(20)
+        finally:
+            if prev is None:
+                os.environ.pop("PLONK_TPU_FB_WB", None)
+            else:
+                os.environ["PLONK_TPU_FB_WB"] = prev
+        result["plonk_scaled_2e20_proofs_per_s"] = round(v, 3)
+        result["plonk_scaled_2e20_spread"] = spread
+        result["plonk_scaled_2e20_roofline_frac"] = _roofline_frac(
+            v * _scaled_prover_muls(1 << 20, wb=3))
+        return None
+
     def scaled_2e18():
         # BASELINE.md names 2^16-2^20; the wb=4 Pallas-layout table at
         # 2^18 is ~300 MB (128 entries/point) — smaller than the 905 MB
@@ -814,6 +835,14 @@ def main():
         return None
     if not cpu_fb:
         B.lane("scaled_2e18", scaled_2e18, est_s=est(1600, 500))
+        # 2^20 runs only when its ~700 MB wb=3 table is already on disk
+        # (tools/probe_2e20.py warms it): a cold build + SRS gen blows
+        # any driver budget, so the cold estimate forces a skip marker
+        import glob as _glob
+        tbl_warm = any(os.path.getsize(f) > 4e8 for f in _glob.glob(
+            os.path.expanduser("~/.cache/plonk_tpu/fbtable_*.npz")))
+        B.lane("scaled_2e20", scaled_2e20,
+               est_s=(1100 if (tbl_warm and xla_warm) else 4000))
 
     # XLA:CPU compile cost is superlinear in butterfly-stage depth
     # (CLAUDE.md) — big transforms are TPU-only lane sizes

@@ -112,8 +112,20 @@ class BN254Prims(NamedTuple):
     perm4n: object
 
 
+def use_bn254_pallas_ntt() -> bool:
+    """Fused Pallas 16-limb coset transforms (ops/pallas_bigntt.py) for
+    the BN254 4n domain instead of stage-at-a-time XLA butterflies.
+    PLONK_TPU_BN254_NTT=pallas|xla overrides; default XLA everywhere
+    until the kernel has a real-chip parity + timing run (CLAUDE.md rule:
+    every new Pallas kernel needs one before it may become a default)."""
+    flag = os.environ.get("PLONK_TPU_BN254_NTT")
+    if flag is not None:
+        return flag == "pallas"
+    return False
+
+
 def _local_prims(ctx) -> BN254Prims:
-    return BN254Prims(
+    base = BN254Prims(
         intt_n=lambda F, x: big_intt(F, x, ctx.omega),
         ntt4n=lambda F, x: big_ntt(F, x, ctx.omega4),
         intt4n=lambda F, x: big_intt(F, x, ctx.omega4),
@@ -121,6 +133,17 @@ def _local_prims(ctx) -> BN254Prims:
             [F.ones((1,)), BPol.prefix_prod_chunked(F, fr)]),
         commit_many=lambda coeffs: _commit_many(ctx, coeffs),
         perm4n=lambda tbl: tbl)
+    if not use_bn254_pallas_ntt():
+        return base
+    from ..ops.pallas_bigntt import big_fused_ntt, big_fused_intt
+    from ..ops.fused_ntt import scrambled_perm
+    interp = jax.default_backend() == "cpu"
+    return base._replace(
+        ntt4n=lambda F, x: big_fused_ntt(F, x, ctx.omega4,
+                                         interpret=interp),
+        intt4n=lambda F, x: big_fused_intt(F, x, ctx.omega4,
+                                           interpret=interp),
+        perm4n=lambda tbl: tbl[np.asarray(scrambled_perm(len(tbl)))])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,11 +212,16 @@ def bn254_setup(n: int, secret: int = 20260817, rolled: bool = False,
         cpath = os.path.join(cdir, f"bn254_srs_n{n}_s{secret}.npz")
         if os.path.exists(cpath):
             z = np.load(cpath)
+            # np.savez stacked each Fq2(c0, c1) namedtuple into a
+            # (2, ...) array — rebuild the Fq2 wrappers on load (the raw
+            # arrays crashed verify_bn254 on every cache-loaded SRS;
+            # caught by tests/test_bn254_smoke.py round 5)
+            fq2 = lambda a: Fq2(jnp.asarray(a[0]), jnp.asarray(a[1]))
             srs = BN254SRS(
                 g1s=BigG1Affine(jnp.asarray(z["x"]), jnp.asarray(z["y"]),
                                 jnp.asarray(z["inf"])),
-                g2_1x=jnp.asarray(z["g2_1x"]), g2_1y=jnp.asarray(z["g2_1y"]),
-                g2_sx=jnp.asarray(z["g2_sx"]), g2_sy=jnp.asarray(z["g2_sy"]),
+                g2_1x=fq2(z["g2_1x"]), g2_1y=fq2(z["g2_1y"]),
+                g2_sx=fq2(z["g2_sx"]), g2_sy=fq2(z["g2_sy"]),
                 length=int(z["length"]))
             return BN254Context(srs=srs, n=n, rolled=rolled)
     r = BN254_FR.p
@@ -667,6 +695,14 @@ def bn254_table_commit(ctx: BN254Context, table):
     L = ctx.srs.length
     pallas = use_bn254_pallas_commit()
 
+    # The XLA select sweep materializes ~2 GB of (B, W, L, limbs)
+    # accumulators at 2^12 and crashes the remote-compile helper
+    # (HTTP 500, BENCH_NOTES round 4) — on accelerators at production
+    # sizes it is NOT a viable fallback, so route around it (VERDICT r4
+    # item 8: no crashing path reachable from default switches). The
+    # fallback order on device is: Pallas kernel, else GLV Pippenger.
+    fb_select_viable = (jax.default_backend() == "cpu" or L < 2048)
+
     def commit(coeff_list) -> BigG1Affine:
         padded = jnp.stack([BPol.pad_to(c, L)[..., :L, :]
                             for c in coeff_list])
@@ -676,8 +712,10 @@ def bn254_table_commit(ctx: BN254Context, table):
             out = big_commit_many_pallas(
                 Fq, table, scalars,
                 interpret=jax.default_backend() == "cpu")
-        else:
+        elif fb_select_viable:
             out = big_msm_fixed_base_many(Fq, table, scalars)
+        else:
+            return _commit_many(ctx, coeff_list)
         x, y, inf = big_to_affine(Fq, out)
         return BigG1Affine(x=x, y=y, inf=inf)
 

@@ -69,30 +69,45 @@ def _shift_rows(x: jnp.ndarray, d: int, out_rows: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
+_N_CONSTS = 7
+
+
 def _field_consts(L: int, p: int, lanes: int) -> np.ndarray:
-    """(5, L, lanes) uint32 constant pack, shipped as a kernel INPUT
+    """(7, L, lanes) uint32 constant pack, shipped as a kernel INPUT
     (pallas rejects captured array constants), pre-broadcast to the tile
-    lane width: [p, -p^-1 mod R, R-p, e0, mont 1]."""
+    lane width: [p, -p^-1 mod R, R-p, e0, mont 1, R-2p, 2p]."""
     R = 1 << (16 * L)
     to_rows = lambda v: np.array(
         [(v >> (16 * k)) & 0xFFFF for k in range(L)],
         dtype=np.uint32).reshape(L, 1)
     pack = np.stack([to_rows(p), to_rows((-pow(p, -1, R)) % R),
-                     to_rows(R - p), to_rows(1), to_rows(R % p)])
-    return np.broadcast_to(pack, (5, L, lanes)).copy()
+                     to_rows(R - p), to_rows(1), to_rows(R % p),
+                     to_rows(R - 2 * p), to_rows(2 * p)])
+    return np.broadcast_to(pack, (_N_CONSTS, L, lanes)).copy()
 
 
-def _make_field(L: int, const_ref, row_mode: str = "slice"):
+def _make_field(L: int, const_ref, row_mode: str = "slice",
+                lazy: bool = False):
     """Field-op closures for the kernel body. All arrays are
     (..., rows, lanes) uint32 with 16-bit limb words on the row axis;
-    const_ref is the (5, L, TL) constant-pack input (constants are
+    const_ref is the (7, L, TL) constant-pack input (constants are
     lane-sliced to each operand's width — lane slices at power-of-two
-    widths are Mosaic-clean, sublane tricks are not)."""
+    widths are Mosaic-clean, sublane tricks are not).
+
+    lazy=True keeps residues in [0, 2p) through whole jadd chains
+    (valid because 4p < R for BN254-Fq, so a*b < 4p^2 < R*p and REDC
+    yields < 2p without the final conditional subtract): `mul` drops its
+    csub_p, `is_zero` becomes mod-p aware (a == 0 or a == p), and the
+    caller canonicalizes once at kernel output via `csub_p`. Saves one
+    Kogge-Stone pass + select per multiply — the dominant serial-chain
+    op of the commit kernel (VERDICT r4 item 2: lazy carry folds)."""
     p_c = const_ref[0]
     np_c = const_ref[1]
     rp_c = const_ref[2]
     e0 = const_ref[3]
     one_mont = const_ref[4]
+    rm2p_c = const_ref[5]
+    t2p_c = const_ref[6]
     lanes_of = lambda c, x: c[..., :x.shape[-1]]
 
     def shift_up(x, d):
@@ -161,43 +176,68 @@ def _make_field(L: int, const_ref, row_mode: str = "slice"):
         d, ge = ks_prop(r + lanes_of(rp_c, r))
         return jnp.where(ge == 1, d, r)
 
+    def csub_2p(r):
+        d, ge = ks_prop(r + lanes_of(rm2p_c, r))
+        return jnp.where(ge == 1, d, r)
+
     def mul(a, b):
         """Montgomery product, full-width REDC (ops/bigfield.py
-        mont_mul_vec restated on sublanes; bit-identical outputs). The
-        REDC multiplier m is computed at full 2L width and truncated at
-        the ALIGNED row-L boundary (mod-R truncation commutes with the
-        carry pass: carries out of row L-1 land in rows >= L and are
-        discarded either way)."""
+        mont_mul_vec restated on sublanes; bit-identical outputs when
+        not lazy). The REDC multiplier m is computed at full 2L width
+        and truncated at the ALIGNED row-L boundary (mod-R truncation
+        commutes with the carry pass: carries out of row L-1 land in
+        rows >= L and are discarded either way)."""
         T, _ = ks_prop(fold1(full_mul(a, b, 2 * L)))
         m_full, _ = ks_prop(fold1(full_mul(T[..., :L, :],
                                            lanes_of(np_c, a), 2 * L)))
         mp = full_mul(m_full[..., :L, :], lanes_of(p_c, a), 2 * L)
         V, _ = ks_prop(fold1(T + mp))
+        if lazy:
+            return V[..., L:, :]          # < 2p (4p < R)
         return csub_p(V[..., L:, :])
 
     def add(a, b):
+        if lazy:
+            # a, b < 2p -> s < 4p < R (16-bit rows throughout)
+            s, _ = ks_prop(a + b)
+            return csub_2p(s)
         s, _ = ks_prop(a + b)
         return csub_p(s)
 
     def sub(a, b):
+        if lazy:
+            # a - b + 2p in (0, 4p): 4-term sum needs a fold before the
+            # carry pass (rows reach ~3*2^16 > the 0x1FFFF KS bound);
+            # the mod-R carry drop IS the reduction (a-b+2p+R >= R).
+            raw = a + (_MASK - b) + lanes_of(e0, a) + lanes_of(t2p_c, a)
+            d, _ = ks_prop(fold1(raw))
+            return csub_2p(d)
         raw = a + (_MASK - b) + lanes_of(e0, a)
         d, ge = ks_prop(raw)
         d2, _ = ks_prop(d + lanes_of(p_c, a))
         return jnp.where(ge == 1, d, d2)
 
     def is_zero(a):
-        # int32 reduce (no bool/unsigned reductions in Mosaic)
+        # int32 reduce (no bool/unsigned reductions in Mosaic); lazy
+        # residues represent 0 as either 0 or p
         nz = jnp.sum((a != 0).astype(jnp.int32), axis=-2, keepdims=True)
-        return nz == 0
+        if not lazy:
+            return nz == 0
+        nep = jnp.sum((a != lanes_of(p_c, a)).astype(jnp.int32),
+                      axis=-2, keepdims=True)
+        return (nz == 0) | (nep == 0)
 
     return dict(mul=mul, add=add, sub=sub, is_zero=is_zero,
-                one_mont=one_mont)
+                one_mont=one_mont, csub_p=csub_p)
 
 
 def _make_jadd(F):
     """Branchless Jacobian add/double on (X, Y, Z) row-limb triples;
     the in-kernel port of ops/bigcurve.big_jac_add (a = 0; Z == 0 is
-    infinity)."""
+    infinity). Also exposes aff_add — affine x affine -> Jacobian
+    (inputs carried as (x, y, inf-mask); ~14 muls vs the general
+    jadd's ~26 incl. its doubling branch) for tree levels whose inputs
+    are bucket-selected table points (Z in {0, 1})."""
     mul, add, sub, is_zero = F["mul"], F["add"], F["sub"], F["is_zero"]
 
     def mul8(a):
@@ -258,6 +298,48 @@ def _make_jadd(F):
         Z3 = jnp.where(q_inf, Z1, Z3)
         return X3, Y3, Z3
 
+    def aff_add(one_b, x1, y1, i1, x2, y2, i2):
+        """(x1,y1) + (x2,y2), both affine with infinity MASKS i1/i2
+        ((..., 1, TL) bool); returns a Jacobian triple. one_b is the
+        broadcast Montgomery-1 (for Z of a passed-through operand).
+        Z3 = dx so X3/Y3 avoid any division:
+        X3 = dy^2 - dx^2 (x1+x2), Y3 = dy (x1 dx^2 - X3) - y1 dx^3."""
+        dx = sub(x2, x1)
+        dy = sub(y2, y1)
+        dx2 = mul(dx, dx)
+        dx3 = mul(dx2, dx)
+        X3 = sub(mul(dy, dy), mul(dx2, add(x1, x2)))
+        Y3 = sub(mul(dy, sub(mul(x1, dx2), X3)), mul(y1, dx3))
+        Z3 = dx
+        # affine doubling (the Z=1 specialization of dbl)
+        A = mul(x1, x1)
+        B = mul(y1, y1)
+        Cc = mul(B, B)
+        s = add(x1, B)
+        D2 = sub(mul(s, s), add(A, Cc))
+        D = add(D2, D2)
+        E = add(add(A, A), A)
+        Xd = sub(mul(E, E), add(D, D))
+        Yd = sub(mul(E, sub(D, Xd)), mul8(Cc))
+        Zd = add(y1, y1)
+
+        both = ~i1 & ~i2
+        same_x = is_zero(dx) & both
+        same_pt = same_x & is_zero(dy)
+        inverse = same_x & ~is_zero(dy)
+        X3 = jnp.where(same_pt, Xd, X3)
+        Y3 = jnp.where(same_pt, Yd, Y3)
+        Z3 = jnp.where(same_pt, Zd, Z3)
+        Z3 = jnp.where(inverse, jnp.zeros_like(Z3), Z3)
+        X3 = jnp.where(i1, x2, X3)
+        Y3 = jnp.where(i1, y2, Y3)
+        Z3 = jnp.where(i1, jnp.where(i2, jnp.zeros_like(Z3), one_b), Z3)
+        X3 = jnp.where(i2 & ~i1, x1, X3)
+        Y3 = jnp.where(i2 & ~i1, y1, Y3)
+        Z3 = jnp.where(i2 & ~i1, one_b, Z3)
+        return X3, Y3, Z3
+
+    jadd.aff_add = aff_add
     return jadd
 
 
@@ -338,6 +420,186 @@ def _commit_kernel(L: int, B: int, WG: int, TL: int, nb: int,
         oz_ref[0] = az
 
 
+def _commit_kernel_v3(L: int, B: int, WG: int, TL: int, nb: int,
+                      const_ref, dig_ref, tx_ref, ty_ref,
+                      ox_ref, oy_ref, oz_ref):
+    """v1 structure (per-step window tree + in-VMEM output accumulation)
+    with two mul-count cuts, chosen after the v2 experiment showed the
+    kernel is VPU-throughput-bound (BENCH_NOTES round 5):
+      - tree LEVEL 0 uses aff_add (affine x affine -> Jacobian, ~14 muls
+        incl. its doubling arm) — the sweep's selected points are affine,
+        so the general jadd's ~26 muls are wasted there;
+      - lazy (<2p) residues drop the per-mul csub; one csub_p
+        canonicalizes the output block at the last tile."""
+    import os
+    F = _make_field(L, const_ref,
+                    row_mode=os.environ.get("PLONK_TPU_BIGMSM_ROW",
+                                            "slice"),
+                    lazy=True)
+    jadd = _make_jadd(F)
+    one_c = F["one_mont"]
+    csub_p = F["csub_p"]
+    one_b = jnp.broadcast_to(one_c[None], (B, L, TL))
+
+    sel = []                                 # (x, y, inf) per window
+    for wg in range(WG):
+        dwg = dig_ref[wg]                    # (B, TL)
+        X = one_b
+        Y = one_b
+        hit_any = jnp.zeros((B, 1, TL), jnp.bool_)
+        for d in range(1, nb):
+            hit = (dwg == jnp.uint32(d))[:, None, :]   # (B, 1, TL)
+            X = jnp.where(hit, tx_ref[wg, d][None], X)
+            Y = jnp.where(hit, ty_ref[wg, d][None], Y)
+            hit_any = hit_any | hit
+        sel.append((X, Y, ~hit_any))
+
+    # level 0: affine pairs -> Jacobian
+    Xs, Ys, Zs = [], [], []
+    if WG == 1:
+        x1, y1, i1 = sel[0]
+        Xs = [x1]
+        Ys = [y1]
+        Zs = [jnp.where(i1, jnp.zeros_like(one_b), one_b)]
+    else:
+        for i in range(0, WG, 2):
+            x3, y3, z3 = jadd.aff_add(one_b, *sel[i], *sel[i + 1])
+            Xs.append(x3)
+            Ys.append(y3)
+            Zs.append(z3)
+
+    # remaining levels: general Jacobian tree
+    while len(Xs) > 1:
+        nxt_x, nxt_y, nxt_z = [], [], []
+        for i in range(0, len(Xs), 2):
+            x3, y3, z3 = jadd(Xs[i], Ys[i], Zs[i],
+                              Xs[i + 1], Ys[i + 1], Zs[i + 1])
+            nxt_x.append(x3)
+            nxt_y.append(y3)
+            nxt_z.append(z3)
+        Xs, Ys, Zs = nxt_x, nxt_y, nxt_z
+
+    X, Y, Z = Xs[0], Ys[0], Zs[0]
+    t = TL
+    while t > 128:
+        h = t // 2
+        X, Y, Z = jadd(X[..., :h], Y[..., :h], Z[..., :h],
+                       X[..., h:t], Y[..., h:t], Z[..., h:t])
+        t = h
+
+    ti = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        ox_ref[0] = X
+        oy_ref[0] = Y
+        oz_ref[0] = Z
+
+    @pl.when(ti != 0)
+    def _accum():
+        ax, ay, az = jadd(ox_ref[0], oy_ref[0], oz_ref[0], X, Y, Z)
+        ox_ref[0] = ax
+        oy_ref[0] = ay
+        oz_ref[0] = az
+
+    @pl.when(ti == nt - 1)
+    def _canon():
+        ox_ref[0] = csub_p(ox_ref[0])
+        oy_ref[0] = csub_p(oy_ref[0])
+        oz_ref[0] = csub_p(oz_ref[0])
+
+
+def _commit_kernel_v2(L: int, B: int, WG: int, TL: int, nb: int,
+                      const_ref, dig_ref, tx_ref, ty_ref,
+                      ox_ref, oy_ref, oz_ref,
+                      ax_ref, ay_ref, az_ref):
+    """Round-5 rework of _commit_kernel for the latency-bound regime
+    (BENCH_NOTES r4: per-op cost is ~10x the tile-cycle ideal at
+    (9,16,128) working sets — serial small-op chains, no single villain
+    op). Two changes:
+
+    1. STACKED accumulators: the WG per-window selections are
+       concatenated on the sublane axis into ONE (WG*B, L, TL) point set
+       and accumulated into a VMEM scratch with a single jadd per grid
+       step — v1 paid (WG-1) tree jadds + 1 accumulate jadd per step on
+       WG x smaller arrays. The window tree runs once per group, at the
+       last point tile (windows accumulate independently across tiles,
+       so regrouping the additions is exact in the group).
+    2. LAZY field residues in [0, 2p) through the whole chain
+       (_make_field(lazy=True)); one csub_p canonicalizes at output.
+
+    Jacobian intermediates therefore DIFFER from v1 (different addition
+    grouping + representation), but the represented points are
+    identical; all parity checks compare affine coordinates."""
+    import os
+    F = _make_field(L, const_ref,
+                    row_mode=os.environ.get("PLONK_TPU_BIGMSM_ROW",
+                                            "slice"),
+                    lazy=True)
+    jadd = _make_jadd(F)
+    one_c = F["one_mont"]
+    csub_p = F["csub_p"]
+
+    Xs, Ys, Zs = [], [], []
+    for wg in range(WG):
+        dwg = dig_ref[wg]                        # (B, TL)
+        one_b = jnp.broadcast_to(one_c[None], (B, L, TL))
+        X = one_b
+        Y = one_b
+        Z = jnp.zeros((B, L, TL), U32)
+        for d in range(1, nb):
+            hit = (dwg == jnp.uint32(d))[:, None, :]   # (B, 1, TL)
+            X = jnp.where(hit, tx_ref[wg, d][None], X)
+            Y = jnp.where(hit, ty_ref[wg, d][None], Y)
+            Z = jnp.where(hit, one_b, Z)
+        Xs.append(X)
+        Ys.append(Y)
+        Zs.append(Z)
+    Xc = jnp.concatenate(Xs, axis=0)             # (WG*B, L, TL)
+    Yc = jnp.concatenate(Ys, axis=0)
+    Zc = jnp.concatenate(Zs, axis=0)
+
+    ti = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        ax_ref[...] = Xc
+        ay_ref[...] = Yc
+        az_ref[...] = Zc
+
+    @pl.when(ti != 0)
+    def _accum():
+        x3, y3, z3 = jadd(ax_ref[...], ay_ref[...], az_ref[...],
+                          Xc, Yc, Zc)
+        ax_ref[...] = x3
+        ay_ref[...] = y3
+        az_ref[...] = z3
+
+    @pl.when(ti == nt - 1)
+    def _final():
+        X, Y, Z = ax_ref[...], ay_ref[...], az_ref[...]
+        # window tree over the stacked axis: (m*B, L, TL) -> (B, L, TL);
+        # slice offsets/sizes are multiples of B*L rows, L=16 keeps them
+        # 8-aligned (Mosaic sublane rule)
+        m = WG
+        while m > 1:
+            h = m // 2
+            X, Y, Z = jadd(X[:h * B], Y[:h * B], Z[:h * B],
+                           X[h * B:m * B], Y[h * B:m * B], Z[h * B:m * B])
+            m = h
+        t = TL
+        while t > 128:
+            h = t // 2
+            X, Y, Z = jadd(X[..., :h], Y[..., :h], Z[..., :h],
+                           X[..., h:t], Y[..., h:t], Z[..., h:t])
+            t = h
+        ox_ref[0] = csub_p(X)
+        oy_ref[0] = csub_p(Y)
+        oz_ref[0] = csub_p(Z)
+
+
 def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -361,16 +623,41 @@ def to_pallas_layout(table: BigFixedBaseTable, TL: int, WG: int):
 
 def big_commit_many_pallas(F, table: BigFixedBaseTable,
                            scalar_words: jnp.ndarray, tile: int = 128,
-                           wg: int = 4, interpret: bool = False) -> BigG1J:
+                           wg: int = 4, interpret: bool = False,
+                           v2: bool | None = None,
+                           version: str | None = None) -> BigG1J:
     """(B, L, n_words) standard-form 16-bit scalar words -> (B,) Jacobian
     commitments against the fixed-base window table, as one fused Pallas
     pass (sweep + tree in VMEM) + a small XLA epilogue over the
-    (G, T, B) 128-lane partials."""
+    (G, T, B) 128-lane partials.
+
+    Kernel variants (PLONK_TPU_BIGMSM_KERNEL=v1|v2|v3, or the `version`
+    arg; `v2=True` is the round-5 sweep's legacy spelling):
+      v1 — round-4 kernel (per-step window tree of general jadds).
+      v2 — stacked accumulators + lazy residues. NOT a win: ≈ v1 at
+           wg=2 (172.6 vs 175.6 ms at 2^12; the kernel is
+           VPU-throughput-bound, so 4x-bigger ops bought nothing) and
+           the remote compile helper dies (HTTP 500) at wg>=4.
+      v3 — v1 structure with mul-count cuts: affine x affine
+           level-0 tree adds + lazy residues (one canonicalizing csub
+           at the last tile). Same points as v1, different Jacobian
+           representatives; compare affine."""
+    import os
+    if version is None:
+        if v2 is not None:
+            version = "v2" if v2 else "v1"
+        else:
+            version = os.environ.get("PLONK_TPU_BIGMSM_KERNEL", "v1")
+    if version not in ("v1", "v2", "v3"):
+        raise ValueError(f"unknown kernel version {version!r}")
     W, nb, Lpts, limbs = table.x.shape
     wb = int(table.window_bits)
     B, Lsc, n_words = scalar_words.shape
     if Lsc > Lpts:
         raise ValueError("more scalars than table points")
+    if version in ("v2", "v3") and (wg & (wg - 1)):
+        raise ValueError(f"{version} kernel needs a power-of-two "
+                         "window group")
     TL = tile
     tx, ty, W_real, Wp, Lp = to_pallas_layout(table, TL, wg)
 
@@ -390,14 +677,19 @@ def big_commit_many_pallas(F, table: BigFixedBaseTable,
     G = Wp // wg
     T = Lp // TL
     consts = jnp.asarray(_field_consts(limbs, int(F.p), TL))
-    kern = functools.partial(_commit_kernel, limbs, B, wg, TL, nb)
+    kern = functools.partial(
+        {"v1": _commit_kernel, "v2": _commit_kernel_v2,
+         "v3": _commit_kernel_v3}[version],
+        limbs, B, wg, TL, nb)
     out_shape = jax.ShapeDtypeStruct((G, B, limbs, 128), U32)
     mem = pl.ANY if interpret else pltpu.VMEM
+    scratch = ([pltpu.VMEM((wg * B, limbs, TL), U32)] * 3
+               if version == "v2" else [])
     ox, oy, oz = pl.pallas_call(
         kern,
         grid=(G, T),
         in_specs=[
-            pl.BlockSpec((5, limbs, TL), lambda g, t: (0, 0, 0),
+            pl.BlockSpec((_N_CONSTS, limbs, TL), lambda g, t: (0, 0, 0),
                          memory_space=mem),
             pl.BlockSpec((wg, B, TL), lambda g, t: (g, 0, t),
                          memory_space=mem),
@@ -415,6 +707,7 @@ def big_commit_many_pallas(F, table: BigFixedBaseTable,
                          lambda g, t: (g, 0, 0, 0), memory_space=mem),
         ],
         out_shape=[out_shape, out_shape, out_shape],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(consts, digits, tx, ty)
 

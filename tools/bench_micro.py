@@ -33,6 +33,19 @@ def timeit(fn, *args, reps=5):
     return (time.perf_counter() - t0) / reps
 
 
+def timeit_varied(fn, inputs):
+    """Time fn over DISTINCT inputs (first = warmup): duplicate async
+    dispatches of the SAME input can collapse in the tunnel stack and
+    report impossible rates (CLAUDE.md; ADVICE r4)."""
+    out = fn(inputs[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for x in inputs[1:]:
+        out = fn(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (len(inputs) - 1)
+
+
 def bench_commit_paths(log_n=16, modes=("select", "gather")):
     from plonk_tpu.ops import fixed_base as FB
     n = 1 << log_n
@@ -554,23 +567,28 @@ def bench_bn254_commit_paths(log_n=12, reps=6):
                 np.asarray(inf))
 
     results = {}
+    # distinct scalar sets per rep (rolled along the point axis keeps
+    # them < r) — same-input reps can collapse in the tunnel (ADVICE r4)
+    sc_vars = [jnp.roll(sc, i, axis=1) for i in range(reps + 1)]
 
-    # GLV Pippenger (the round-3 path)
-    cfn = jax.jit(lambda s: PB._commit_many(
-        ctx, [Fr.encode(s[i]) for i in range(9)]))
-    try:
-        dt = timeit(lambda: cfn(sc), reps=reps)
-        out = cfn(sc)
-        # _commit_many returns MONTGOMERY-form affine coords (the prover
-        # decodes later) — decode before comparing (a round-4 probe
-        # chased a phantom "GLV mismatch" for hours over this)
-        results["glv"] = (np.asarray(Fq.decode(out.x)),
-                          np.asarray(Fq.decode(out.y)),
-                          np.asarray(out.inf))
-        print(json.dumps({"bn254_commit9": "glv_pippenger",
-                          "ms": round(dt * 1000, 2)}), flush=True)
-    except Exception as e:
-        print(f"glv failed: {str(e)[:200]}", flush=True)
+    # GLV Pippenger (the round-3 path; ~3 s/rep at 2^12 and a long
+    # compile — enable with PLONK_TPU_MICRO_GLV=1 for full-parity runs)
+    if os.environ.get("PLONK_TPU_MICRO_GLV") == "1":
+        cfn = jax.jit(lambda s: PB._commit_many(
+            ctx, [Fr.encode(s[i]) for i in range(9)]))
+        try:
+            dt = timeit_varied(lambda s: cfn(s), sc_vars)
+            out = cfn(sc)
+            # _commit_many returns MONTGOMERY-form affine coords (the
+            # prover decodes later) — decode before comparing (a round-4
+            # probe chased a phantom "GLV mismatch" for hours over this)
+            results["glv"] = (np.asarray(Fq.decode(out.x)),
+                              np.asarray(Fq.decode(out.y)),
+                              np.asarray(out.inf))
+            print(json.dumps({"bn254_commit9": "glv_pippenger",
+                              "ms": round(dt * 1000, 2)}), flush=True)
+        except Exception as e:
+            print(f"glv failed: {str(e)[:200]}", flush=True)
 
     # fixed-base table (build or disk load)
     t0 = time.perf_counter()
@@ -579,49 +597,107 @@ def bench_bn254_commit_paths(log_n=12, reps=6):
           f"{time.perf_counter()-t0:.1f}s "
           f"({tbl.x.nbytes*2/1e6:.0f} MB)", flush=True)
 
-    fbfn = jax.jit(lambda t, s: BC.big_msm_fixed_base_many(Fq, t, s))
-    try:
-        dt = timeit(lambda: fbfn(tbl, sc), reps=reps)
-        out = fbfn(tbl, sc)
-        results["fb_select"] = affine_std(out)
-        print(json.dumps({"bn254_commit9": "fb_select",
-                          "wb": tbl.window_bits,
-                          "ms": round(dt * 1000, 2)}), flush=True)
-    except Exception as e:
-        print(f"fb_select failed: {str(e)[:200]}", flush=True)
+    # XLA select sweep: crashes the remote-compile helper (HTTP 500) at
+    # 2^12 — opt-in only until fixed or removed (VERDICT r4 item 8)
+    if os.environ.get("PLONK_TPU_MICRO_FBSELECT") == "1":
+        fbfn = jax.jit(lambda t, s: BC.big_msm_fixed_base_many(Fq, t, s))
+        try:
+            dt = timeit_varied(lambda s: fbfn(tbl, s), sc_vars)
+            out = fbfn(tbl, sc)
+            results["fb_select"] = affine_std(out)
+            print(json.dumps({"bn254_commit9": "fb_select",
+                              "wb": tbl.window_bits,
+                              "ms": round(dt * 1000, 2)}), flush=True)
+        except Exception as e:
+            print(f"fb_select failed: {str(e)[:200]}", flush=True)
 
-    for tile in (128, 256, 512):
-        for wg in (2, 4, 8):
-            pfn = jax.jit(lambda t, s, ti=tile, w=wg:
-                          big_commit_many_pallas(Fq, t, s, tile=ti, wg=w))
-            try:
-                dt = timeit(lambda: pfn(tbl, sc), reps=reps)
-                out = pfn(tbl, sc)
-                results[f"pallas_t{tile}_wg{wg}"] = affine_std(out)
-                print(json.dumps({"bn254_commit9": "pallas",
-                                  "tile": tile, "wg": wg,
-                                  "ms": round(dt * 1000, 2)}), flush=True)
-            except Exception as e:
-                print(f"pallas t{tile} wg{wg} failed: {str(e)[:200]}",
-                      flush=True)
+    # tile=512 fails the remote device compile (round-4), and every v2
+    # config beyond t128/wg2 dies in the remote compile helper (HTTP
+    # 500, round-5 sweep) — each failure burns ~6 min, so the default
+    # list is the v1 anchor + the one live v2 config; override with
+    # PLONK_TPU_MICRO_CFGS="tile:wg:v1|v2,..."
+    env_cfgs = os.environ.get("PLONK_TPU_MICRO_CFGS")
+    if env_cfgs:
+        cfgs = []
+        for part in env_cfgs.split(","):
+            t_, w_, v_ = part.split(":")
+            cfgs.append((int(t_), int(w_), v_ == "v2"))
+    else:
+        cfgs = [(128, 4, False), (128, 2, True)]
+    for tile, wg, v2 in cfgs:
+        tag = f"pallas{'_v2' if v2 else ''}_t{tile}_wg{wg}"
+        pfn = jax.jit(lambda t, s, ti=tile, w=wg, v=v2:
+                      big_commit_many_pallas(Fq, t, s, tile=ti, wg=w,
+                                             v2=v))
+        try:
+            dt = timeit_varied(lambda s: pfn(tbl, s), sc_vars)
+            out = pfn(tbl, sc)
+            results[tag] = affine_std(out)
+            print(json.dumps({"bn254_commit9": tag,
+                              "ms": round(dt * 1000, 2)}), flush=True)
+        except Exception as e:
+            print(f"{tag} failed: {str(e)[:200]}", flush=True)
 
-    # parity across everything that ran
-    if "glv" in results:
-        gx, gy, ginf = results["glv"]
-    keys = [k for k in results if k != "glv"]
-    base = results.get("fb_select") or (results[keys[0]] if keys else None)
-    for k in keys:
-        x, y, inf = results[k]
-        ok = (np.array_equal(x, base[0]) and np.array_equal(y, base[1])
-              and np.array_equal(inf, base[2]))
-        print(f"parity {k} vs fb_select: {ok}", flush=True)
-        assert ok, k
-    if "glv" in results and base is not None:
-        ok = (np.array_equal(gx, base[0]) and np.array_equal(gy, base[1])
-              and np.array_equal(ginf, base[2]))
-        print(f"parity glv vs fb_select: {ok}", flush=True)
-        assert ok
+    # parity across everything that ran, vs the v1 anchor (itself
+    # bit-checked against GLV/fb_select in round 4)
+    base_key = ("pallas_t128_wg4" if "pallas_t128_wg4" in results
+                else next(iter(results), None))
+    if base_key is not None:
+        base = results[base_key]
+        for k, (x, y, inf) in results.items():
+            if k == base_key:
+                continue
+            ok = (np.array_equal(x, base[0])
+                  and np.array_equal(y, base[1])
+                  and np.array_equal(inf, base[2]))
+            print(f"parity {k} vs {base_key}: {ok}", flush=True)
+            assert ok, k
 
 
 if which == "bigmsm":
     bench_bn254_commit_paths(int(sys.argv[2]) if len(sys.argv) > 2 else 12)
+
+
+def bench_bigntt(log_n=14, batch=10, reps=6):
+    """Pallas 16-limb fused NTT (ops/pallas_bigntt.py) vs the XLA
+    big_ntt on device: forward + inverse timing at the BN254 prover's
+    (batch, 4n) coset stack shape, with scrambled-layout parity checks
+    (forward == big_ntt permuted; round trip == identity)."""
+    from plonk_tpu.ops.bigfield import BigMontField, big_ntt
+    from plonk_tpu.ops.fused_ntt import scrambled_perm
+    from plonk_tpu.ops.pallas_bigntt import big_fused_ntt, big_fused_intt
+    from plonk_tpu.utils.params import BN254_FR
+
+    F = BigMontField(BN254_FR, rolled=True)
+    n = 1 << log_n
+    w = BN254_FR.root_of_unity(n)
+    rng = np.random.default_rng(0)
+    base = [int.from_bytes(rng.bytes(40), "little") % F.p
+            for _ in range(1024)]
+    x = jnp.tile(F.array(base), (batch, n // 1024, 1))
+    x_vars = [jnp.roll(x, i, axis=1) for i in range(reps + 1)]
+
+    ffn = jax.jit(lambda v: big_fused_ntt(F, v, w))
+    ifn = jax.jit(lambda v: big_fused_intt(F, v, w))
+    rfn = jax.jit(lambda v: big_ntt(F, v, w))
+
+    # parity on ONE batch lane (full-stack compare is a big host pull)
+    got = np.asarray(ffn(x)[0])
+    ref = np.asarray(rfn(x[:1])[0])
+    perm = np.asarray(scrambled_perm(n))
+    assert np.array_equal(got, ref[perm]), "bigntt fwd parity on device"
+    back = np.asarray(ifn(ffn(x))[0])
+    assert np.array_equal(back, np.asarray(x[0])), "bigntt roundtrip"
+    print("parity fwd+roundtrip ok", flush=True)
+
+    for tag, fn in (("pallas_fwd", ffn), ("pallas_inv", ifn),
+                    ("xla_fwd", rfn)):
+        dt = timeit_varied(fn, x_vars)
+        print(json.dumps({
+            "bigntt": tag, "log_n": log_n, "batch": batch,
+            "ms": round(dt * 1000, 2),
+            "melems_per_s": round(batch * n / dt / 1e6, 2)}), flush=True)
+
+
+if which == "bigntt":
+    bench_bigntt(int(sys.argv[2]) if len(sys.argv) > 2 else 14)
