@@ -892,19 +892,56 @@ def _g1_mul_std(Fq, p: BigG1J, scalar_words) -> BigG1J:
     return big_jac_mul(Fq, p, _std_bits(scalar_words), FR_BITS)
 
 
+def _pairing_ratio_flags(ctx: BN254Context, w1, nr1, w2, nr2):
+    """Second verify stage: 4-lane Miller ratio + one batched final
+    exponentiation over the reduced points -> (ok1, ok2)."""
+    Fp = BPair.pairing_field(rolled=True)
+    srs = ctx.srs
+    st = lambda xs: jnp.stack(xs)
+    lanes = BigG1J(st([w1.X, nr1.X, w2.X, nr2.X]),
+                   st([w1.Y, nr1.Y, w2.Y, nr2.Y]),
+                   st([w1.Z, nr1.Z, w2.Z, nr2.Z]))
+    st2 = lambda cs: Fq2(st([c.c0 for c in cs]), st([c.c1 for c in cs]))
+    g2sx, g2sy = Fq2(srs.g2_sx.c0, srs.g2_sx.c1), Fq2(srs.g2_sy.c0,
+                                                      srs.g2_sy.c1)
+    g21x, g21y = Fq2(srs.g2_1x.c0, srs.g2_1x.c1), Fq2(srs.g2_1y.c0,
+                                                      srs.g2_1y.c1)
+    qx = st2([g2sx, g21x, g2sx, g21x])
+    qy = st2([g2sy, g21y, g2sy, g21y])
+    px, py, pinf = big_to_affine(Fp, lanes)
+    ml = BPair.miller_loop(Fp, px, py, qx, qy)
+    ml = BPair._sel_tree(pinf, Fq12.one(Fp, (4,)), ml)
+    lane = lambda i: jax.tree_util.tree_map(lambda t: t[i], ml)
+    ratios = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]),
+        f12_mul(Fp, lane(0), lane(1)), f12_mul(Fp, lane(2), lane(3)))
+    outs = BPair.final_exponentiation(Fp, ratios)
+    ok = f12_eq(Fp, outs, Fq12.one(Fp, (2,)))
+    return ok[0], ok[1]
+
+
 def verify_bn254(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
                  challenge, public_inputs=None) -> bool:
     """KZG verification with REAL BN254 pairings: the two checks
     e(W, [tau]_2) == e(R, [1]_2) run as ONE batched Miller ratio + ONE
     shared final exponentiation (models/plonk_scaled.py:965 structure,
-    production curve). The compiled callable caches ON the context."""
-    fn = getattr(ctx, "_verify_jit", None)
-    if fn is None:
-        fn = jax.jit(lambda v, p, c, pi: _verify_flags(ctx, v, p, c, pi))
-        object.__setattr__(ctx, "_verify_jit", fn)
+    production curve). Compiled as TWO staged jits cached ON the context
+    — point reduction, then pairing ratio. One module was a >90 min
+    XLA:CPU compile (its data-movement cost is superlinear in module
+    size, CLAUDE.md); staged it is ~1600 s + ~400 s cold and each stage
+    caches independently. The host hop between stages moves 4 Jacobian
+    points (~0.8 KB)."""
+    fns = getattr(ctx, "_verify_staged_jit", None)
+    if fns is None:
+        fns = (jax.jit(lambda v, p, c, pi: _verify_points(
+                   ctx, v, p, c, pi)),
+               jax.jit(lambda a, b, c_, d: _pairing_ratio_flags(
+                   ctx, a, b, c_, d)))
+        object.__setattr__(ctx, "_verify_staged_jit", fns)
     pi = (jnp.zeros((ctx.n, FR_WORDS), U32) if public_inputs is None
           else jnp.asarray(public_inputs, U32))
-    ok1, ok2 = fn(vk, proof, jnp.asarray(challenge, U32), pi)
+    pts = fns[0](vk, proof, jnp.asarray(challenge, U32), pi)
+    ok1, ok2 = fns[1](*pts)
     return bool(ok1) and bool(ok2)
 
 
@@ -1010,7 +1047,6 @@ def _verify_points(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
     t_z = Fr.mont_mul(t_z_num, Fr.inv(z_h_z))
 
     jac = lambda a: _aff_to_jac(Fq, a)
-    mulp = lambda pt, s_mont: _g1_mul_std(Fq, jac(pt), dec(s_mont))
     add = lambda a, b: big_jac_add(Fq, a, b)
     neg = lambda p: BigG1J(p.X, Fq.neg(p.Y), p.Z)
 
@@ -1023,75 +1059,58 @@ def _verify_points(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
         Fr.mont_mul(alpha_sq, l_1_z))
     s3_coef = Fr.mont_mul(Fr.mont_mul(Fr.mont_mul(as1z, bs2z), alpha),
                           Fr.mont_mul(beta, zw_z))
-    d_cm = mulp(vk.q_m_s, Fr.mont_mul(a_z, b_z))
-    d_cm = add(d_cm, mulp(vk.q_l_s, a_z))
-    d_cm = add(d_cm, mulp(vk.q_r_s, b_z))
-    d_cm = add(d_cm, mulp(vk.q_o_s, c_z))
-    d_cm = add(d_cm, jac(vk.q_c_s))
-    d_cm = add(d_cm, mulp(proof.z_s, z_coef))
-    d_cm = add(d_cm, neg(mulp(vk.s3_s, s3_coef)))
 
     vp = [Fr.const(1), v]
     for _ in range(5):
         vp.append(Fr.mont_mul(vp[-1], v))
     zpp = Fr.pow_static_rolled(z, n + 2)
-    f_cm = jac(proof.t_lo_s)
-    f_cm = add(f_cm, mulp(proof.t_mid_s, zpp))
-    f_cm = add(f_cm, mulp(proof.t_hi_s, Fr.mont_mul(zpp, zpp)))
-    f_cm = add(f_cm, _g1_mul_std(Fq, d_cm, dec(vp[1])))
-    f_cm = add(f_cm, mulp(proof.a_s, vp[2]))
-    f_cm = add(f_cm, mulp(proof.b_s, vp[3]))
-    f_cm = add(f_cm, mulp(proof.c_s, vp[4]))
-    f_cm = add(f_cm, mulp(vk.s1_s, vp[5]))
-    f_cm = add(f_cm, mulp(vk.s2_s, vp[6]))
 
     e_scalar = t_z
     for coef, val in ((vp[1], r_z), (vp[2], a_z), (vp[3], b_z),
                       (vp[4], c_z), (vp[5], s1_z), (vp[6], s2_z)):
         e_scalar = Fr.add(e_scalar, Fr.mont_mul(coef, val))
     g = bn254_generator(Fq)
-    e_neg = neg(_g1_mul_std(Fq, g, dec(e_scalar)))
+    zw_mont = Fr.mont_mul(z, Fr.const(ctx.omega))
 
-    r1 = add(_g1_mul_std(Fq, jac(proof.w_z_s), ch_std[3]),
-             add(f_cm, e_neg))
-    zw_std = dec(Fr.mont_mul(z, Fr.const(ctx.omega)))
-    e2_neg = neg(_g1_mul_std(Fq, g, dec(zw_z)))
-    r2 = add(_g1_mul_std(Fq, jac(proof.w_z_omega_s), zw_std),
-             add(jac(proof.z_s), e2_neg))
+    # ONE batched double-and-add ladder for all 18 scalar multiplies
+    # (d_cm's terms folded into f_cm with a v factor; point negations
+    # become scalar negations mod r). The previous per-term ladders were
+    # 19 separate 254-step scan graphs — an ~80 min XLA:CPU verify
+    # compile (round-5 smoke-test finding) and 19x the dispatch work.
+    mv = lambda s_: Fr.mont_mul(vp[1], s_)
+    pairs = [
+        (jac(proof.t_mid_s), zpp),
+        (jac(proof.t_hi_s), Fr.mont_mul(zpp, zpp)),
+        (jac(vk.q_m_s), mv(Fr.mont_mul(a_z, b_z))),
+        (jac(vk.q_l_s), mv(a_z)),
+        (jac(vk.q_r_s), mv(b_z)),
+        (jac(vk.q_o_s), mv(c_z)),
+        (jac(vk.q_c_s), vp[1]),
+        (jac(proof.z_s), mv(z_coef)),
+        (jac(vk.s3_s), Fr.neg(mv(s3_coef))),
+        (jac(proof.a_s), vp[2]),
+        (jac(proof.b_s), vp[3]),
+        (jac(proof.c_s), vp[4]),
+        (jac(vk.s1_s), vp[5]),
+        (jac(vk.s2_s), vp[6]),
+        (g, Fr.neg(e_scalar)),
+        (jac(proof.w_z_s), z),
+        (jac(proof.w_z_omega_s), zw_mont),
+        (g, Fr.neg(zw_z)),
+    ]
+    pts = BigG1J(jnp.stack([p.X for p, _ in pairs]),
+                 jnp.stack([p.Y for p, _ in pairs]),
+                 jnp.stack([p.Z for p, _ in pairs]))
+    scalars_std = dec(jnp.stack([s for _, s in pairs]))
+    out = big_jac_mul(Fq, pts, _std_bits(scalars_std), FR_BITS)
+    lane = lambda i: jax.tree_util.tree_map(lambda t: t[i], out)
+
+    # fold lanes 0..15 with ONE rolled jadd body: 16 inline jadd blocks
+    # were a major share of this module's superlinear XLA:CPU compile
+    # (round-5 breakdown probe: 1610 s for the point stage alone)
+    r1 = jax.lax.fori_loop(
+        0, 16, lambda i, acc: big_jac_add(Fq, acc, lane(i)),
+        jac(proof.t_lo_s))
+    r2 = add(jac(proof.z_s), add(lane(16), lane(17)))
     return (_aff_to_jac(Fq, proof.w_z_s), neg(r1),
             _aff_to_jac(Fq, proof.w_z_omega_s), neg(r2))
-
-
-def _verify_flags(ctx: BN254Context, vk: BN254VK, proof: BN254Proof,
-                  challenge, public_inputs):
-    Fq = ctx.Fq
-    w1, nr1, w2, nr2 = _verify_points(ctx, vk, proof, challenge,
-                                      public_inputs)
-    # pairing ratio checks: accept_i iff e(W_i, [s]_2) == e(R_i, [1]_2),
-    # computed as e(W_i, [s]_2) * e(-R_i, [1]_2) == 1. ALL FOUR pairings
-    # ride one 4-lane Miller scan; the two ratios share ONE batched final
-    # exponentiation (the production sibling of
-    # plonk_scaled._pairing_ratio_checks).
-    Fp = BPair.pairing_field(rolled=True)
-    srs = ctx.srs
-    st = lambda xs: jnp.stack(xs)
-    lanes = BigG1J(st([w1.X, nr1.X, w2.X, nr2.X]),
-                   st([w1.Y, nr1.Y, w2.Y, nr2.Y]),
-                   st([w1.Z, nr1.Z, w2.Z, nr2.Z]))
-    st2 = lambda cs: Fq2(st([c.c0 for c in cs]), st([c.c1 for c in cs]))
-    g2sx, g2sy = Fq2(srs.g2_sx.c0, srs.g2_sx.c1), Fq2(srs.g2_sy.c0,
-                                                      srs.g2_sy.c1)
-    g21x, g21y = Fq2(srs.g2_1x.c0, srs.g2_1x.c1), Fq2(srs.g2_1y.c0,
-                                                      srs.g2_1y.c1)
-    qx = st2([g2sx, g21x, g2sx, g21x])
-    qy = st2([g2sy, g21y, g2sy, g21y])
-    px, py, pinf = big_to_affine(Fp, lanes)
-    ml = BPair.miller_loop(Fp, px, py, qx, qy)
-    ml = BPair._sel_tree(pinf, Fq12.one(Fp, (4,)), ml)
-    lane = lambda i: jax.tree_util.tree_map(lambda t: t[i], ml)
-    ratios = jax.tree_util.tree_map(
-        lambda a, b: jnp.stack([a, b]),
-        f12_mul(Fp, lane(0), lane(1)), f12_mul(Fp, lane(2), lane(3)))
-    outs = BPair.final_exponentiation(Fp, ratios)
-    ok = f12_eq(Fp, outs, Fq12.one(Fp, (2,)))
-    return ok[0], ok[1]

@@ -8,6 +8,11 @@ are not initialized yet at conftest time)."""
 import os
 import sys
 
+# Silence the cpu_aot_loader's per-entry E-level feature warnings:
+# +prefer-no-gather/-scatter are XLA tuning flags that never appear in
+# raw cpuinfo, so EVERY persistent-cache load "warns" (loads succeed);
+# a BN254 test run prints hundreds of them (round-5 finding).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -45,17 +45,18 @@ def _setup(L, B, sbits, wb, seed=0):
     return tbl, jnp.asarray(sc)
 
 
-@pytest.mark.parametrize("wb,sbits,L,B,tile,wg,v2", [
-    (4, 32, 5, 3, 128, 2, False),  # W=8 windows, L pads 5 -> 128 (v1)
-    (4, 32, 5, 3, 128, 2, True),   # same, stacked+lazy v2 kernel
-    (5, 33, 3, 2, 128, 4, True),   # W=7 pads to 8: padded-window guard
+@pytest.mark.parametrize("wb,sbits,L,B,tile,wg,ver", [
+    (4, 32, 5, 3, 128, 2, "v1"),   # W=8 windows, L pads 5 -> 128
+    (4, 32, 5, 3, 128, 2, "v2"),   # stacked+lazy (opt-in variant)
+    (4, 32, 5, 3, 128, 2, "v3"),   # affine level-0 + lazy
+    (5, 33, 3, 2, 128, 4, "v3"),   # W=7 pads to 8: padded-window guard
 ])
-def test_kernel_matches_select_sweep(wb, sbits, L, B, tile, wg, v2):
+def test_kernel_matches_select_sweep(wb, sbits, L, B, tile, wg, ver):
     tbl, sc = _setup(L, B, sbits, wb, seed=wb)
     ref = jax.jit(lambda t, s: BC.big_msm_fixed_base_many(F, t, s))(
         tbl, sc)
     got = jax.jit(lambda t, s: big_commit_many_pallas(
-        F, t, s, tile=tile, wg=wg, interpret=True, v2=v2))(tbl, sc)
+        F, t, s, tile=tile, wg=wg, interpret=True, version=ver))(tbl, sc)
     rx, ry, rinf = BC.big_to_affine(F, ref)
     gx, gy, ginf = BC.big_to_affine(F, got)
     assert np.array_equal(np.asarray(ginf), np.asarray(rinf))
@@ -73,7 +74,7 @@ def test_kernel_multi_tile_grid():
     ref = jax.jit(lambda t, s: BC.big_msm_fixed_base_many(F, t, s))(
         tbl, sc)
     got = jax.jit(lambda t, s: big_commit_many_pallas(
-        F, t, s, tile=128, wg=1, interpret=True, v2=True))(tbl, sc)
+        F, t, s, tile=128, wg=1, interpret=True, version="v3"))(tbl, sc)
     rx, ry, rinf = BC.big_to_affine(F, ref)
     gx, gy, ginf = BC.big_to_affine(F, got)
     assert np.array_equal(np.asarray(ginf), np.asarray(rinf))

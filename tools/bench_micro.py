@@ -621,14 +621,16 @@ def bench_bn254_commit_paths(log_n=12, reps=6):
         cfgs = []
         for part in env_cfgs.split(","):
             t_, w_, v_ = part.split(":")
-            cfgs.append((int(t_), int(w_), v_ == "v2"))
+            cfgs.append((int(t_), int(w_), v_))
     else:
-        cfgs = [(128, 4, False), (128, 2, True)]
-    for tile, wg, v2 in cfgs:
-        tag = f"pallas{'_v2' if v2 else ''}_t{tile}_wg{wg}"
-        pfn = jax.jit(lambda t, s, ti=tile, w=wg, v=v2:
+        cfgs = [(128, 4, "v1"), (128, 4, "v3"), (128, 2, "v3"),
+                (128, 8, "v3")]
+    for tile, wg, ver in cfgs:
+        tag = f"pallas_{ver}_t{tile}_wg{wg}" if ver != "v1" \
+            else f"pallas_t{tile}_wg{wg}"
+        pfn = jax.jit(lambda t, s, ti=tile, w=wg, v=ver:
                       big_commit_many_pallas(Fq, t, s, tile=ti, wg=w,
-                                             v2=v))
+                                             version=v))
         try:
             dt = timeit_varied(lambda s: pfn(tbl, s), sc_vars)
             out = pfn(tbl, sc)
