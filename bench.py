@@ -152,8 +152,16 @@ def bench_prover_batch(batch: int = 32768):
     rnds = jnp.tile(jnp.asarray(CANONICAL_RAND), (batch, 1))
     fn = jax.jit(make_batched_prover(ctx, selectors, copies))
 
-    secs, (proofs, diags) = _timeit(fn, tile(a), tile(b), tile(c), chs,
-                                    rnds, reps=6)
+    # distinct blinding per rep (mod 17) — duplicate dispatches collapse
+    # in the tunnel (ADVICE r4 medium; same fix as the scaled/BN254
+    # lanes). Last timed rep is the canonical rnds so the golden-proof
+    # assert still anchors correctness.
+    R = 17
+    variants = [(rnds + jnp.uint32(i)) % jnp.uint32(R) for i in (1, 2, 3,
+                                                                 4, 5, 6)]
+    aj, bj, cj = tile(a), tile(b), tile(c)
+    secs, (proofs, diags) = _timeit_varied(
+        lambda r_: fn(aj, bj, cj, chs, r_), variants + [rnds])
     assert bool(jnp.all(diags.satisfied))
     assert int(proofs.r_z[0]) == 15, "proof mismatch in bench"
     return batch / secs

@@ -18,7 +18,9 @@ step() {  # step <name> <timeout_s> <cmd...>
   echo "rc=$rc" >> $Q/$name.log
   echo "$(date +%T) end $name rc=$rc"
   [ $rc -eq 0 ] && touch $Q/$name.done
-  sleep 150   # grant release if the step was killed
+  # Grant release wait only needed when the step was killed (clean exits
+  # release the chip promptly).
+  [ $rc -ne 0 ] && sleep 150
   return 0
 }
 step bigmsm_v3   3600 python tools/bench_micro.py bigmsm 12
