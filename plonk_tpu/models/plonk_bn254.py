@@ -115,13 +115,15 @@ class BN254Prims(NamedTuple):
 def use_bn254_pallas_ntt() -> bool:
     """Fused Pallas 16-limb coset transforms (ops/pallas_bigntt.py) for
     the BN254 4n domain instead of stage-at-a-time XLA butterflies.
-    PLONK_TPU_BN254_NTT=pallas|xla overrides; default XLA everywhere
-    until the kernel has a real-chip parity + timing run (CLAUDE.md rule:
-    every new Pallas kernel needs one before it may become a default)."""
+    PLONK_TPU_BN254_NTT=pallas|xla overrides; default pallas on
+    accelerators since the round-5 device run (parity green; fwd 12.1 ms
+    vs XLA 22.1 ms at 2^14 x batch 10 — tools/bench_micro.py bigntt),
+    XLA on CPU (the interpret-mode kernel is slower than the
+    compile-small XLA butterflies there)."""
     flag = os.environ.get("PLONK_TPU_BN254_NTT")
     if flag is not None:
         return flag == "pallas"
-    return False
+    return jax.default_backend() != "cpu"
 
 
 def _local_prims(ctx) -> BN254Prims:

@@ -623,7 +623,7 @@ def to_pallas_layout(table: BigFixedBaseTable, TL: int, WG: int):
 
 def big_commit_many_pallas(F, table: BigFixedBaseTable,
                            scalar_words: jnp.ndarray, tile: int = 128,
-                           wg: int = 4, interpret: bool = False,
+                           wg: int | None = None, interpret: bool = False,
                            v2: bool | None = None,
                            version: str | None = None) -> BigG1J:
     """(B, L, n_words) standard-form 16-bit scalar words -> (B,) Jacobian
@@ -641,15 +641,21 @@ def big_commit_many_pallas(F, table: BigFixedBaseTable,
       v3 — v1 structure with mul-count cuts: affine x affine
            level-0 tree adds + lazy residues (one canonicalizing csub
            at the last tile). Same points as v1, different Jacobian
-           representatives; compare affine."""
+           representatives; compare affine. DEFAULT since the round-5
+           device sweep at 2^12: 117.4 ms (wg=4) / 115.1 ms (wg=8)
+           vs v1's 148.6 ms per 9 commits, parity green at all wg."""
     import os
     if version is None:
         if v2 is not None:
             version = "v2" if v2 else "v1"
         else:
-            version = os.environ.get("PLONK_TPU_BIGMSM_KERNEL", "v1")
+            version = os.environ.get("PLONK_TPU_BIGMSM_KERNEL", "v3")
     if version not in ("v1", "v2", "v3"):
         raise ValueError(f"unknown kernel version {version!r}")
+    if wg is None:
+        # round-5 device sweep: v3 fastest at wg=8 (115.1 ms/9 commits at
+        # 2^12 vs 117.4 at wg=4); v1/v2 keep their round-3/4 default
+        wg = 8 if version == "v3" else 4
     W, nb, Lpts, limbs = table.x.shape
     wb = int(table.window_bits)
     B, Lsc, n_words = scalar_words.shape
